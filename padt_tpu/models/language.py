@@ -1,0 +1,170 @@
+"""Qwen2.5 text decoder with M-RoPE and a static-shape KV cache.
+
+Rebuilds the LLM layer of the reference (transformers Qwen2_5_VLModel used by
+`padt.py:279-290`) as functional JAX:
+  - `text_forward` — full-sequence causal forward (training / prefill), writes
+    the KV cache as a by-product;
+  - `decode_step` — one-token step over the cache (the reference runs one HF
+    forward per token in `_sample_vision_token`, `padt.py:618-800`; here the
+    step is jitted and driven by `lax.while_loop` in padt.py's generate).
+
+Returns post-final-norm hidden states: parity with HF `output_hidden_states[-1]`
+which PaDT's VRT parsing consumes (`padt_processor.py:125`,
+`padt_sft_trainer.py:478`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+from ..ops.attention import causal_attention, decode_attention
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rotary, mrope_cos_sin
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (layers, B, C, Hkv, hd)
+    v: jnp.ndarray  # (layers, B, C, Hkv, hd)
+    valid: jnp.ndarray  # (B, C) bool — live slots (handles left padding)
+    length: jnp.ndarray  # () int32 — high-water mark (same for all samples)
+
+
+def init_cache(cfg: TextConfig, batch: int, capacity: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, capacity, cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        valid=jnp.zeros((batch, capacity), dtype=bool),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def init_text_params(cfg: TextConfig, key, dtype=jnp.bfloat16):
+    d, ff, nl = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    qd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_key_value_heads * cfg.head_dim
+    ks = jax.random.split(key, 8)
+
+    def stack(shape, key, scale=0.02):
+        return (jax.random.normal(key, (nl, *shape), jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "input_ln_w": jnp.ones((nl, d), dtype),
+        "post_ln_w": jnp.ones((nl, d), dtype),
+        "q_w": stack((d, qd), ks[0]),
+        "q_b": jnp.zeros((nl, qd), dtype),
+        "k_w": stack((d, kvd), ks[1]),
+        "k_b": jnp.zeros((nl, kvd), dtype),
+        "v_w": stack((d, kvd), ks[2]),
+        "v_b": jnp.zeros((nl, kvd), dtype),
+        "o_w": stack((qd, d), ks[3]),
+        "gate_w": stack((d, ff), ks[4]),
+        "up_w": stack((d, ff), ks[5]),
+        "down_w": stack((ff, d), ks[6]),
+    }
+    params = {
+        "embed": (jax.random.normal(ks[7], (cfg.vocab_size, d), jnp.float32) * 0.02).astype(dtype),
+        "layers": layers,
+        "final_ln_w": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (
+            jax.random.normal(jax.random.fold_in(ks[7], 1), (cfg.vocab_size, d), jnp.float32) * 0.02
+        ).astype(dtype)
+    return params
+
+
+def _qkv(x, lp, cfg: TextConfig, cos, sin):
+    b, l, _ = x.shape
+    q = (x @ lp["q_w"] + lp["q_b"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)
+    k = (x @ lp["k_w"] + lp["k_b"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
+    v = (x @ lp["v_w"] + lp["v_b"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
+    q = apply_rotary(q, cos[:, :, None, :], sin[:, :, None, :])
+    k = apply_rotary(k, cos[:, :, None, :], sin[:, :, None, :])
+    return q, k, v
+
+
+def _mlp(x, lp):
+    return (jax.nn.silu(x @ lp["gate_w"]) * (x @ lp["up_w"])) @ lp["down_w"]
+
+
+def text_forward(
+    params,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, L, D)
+    position_ids: jnp.ndarray,  # (3, B, L)
+    valid: jnp.ndarray,  # (B, L) bool
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Full causal forward. Returns (hidden post-final-norm (B,L,D),
+    (k_all, v_all) each (layers, B, L, Hkv, hd)) for cache seeding."""
+    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+
+    def body(x, lp):
+        xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
+        q, k, v = _qkv(xn, lp, cfg, cos, sin)
+        attn = causal_attention(q, k, v, valid)
+        x = x + attn.reshape(*x.shape[:2], -1) @ lp["o_w"]
+        xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
+        x = x + _mlp(xn, lp)
+        return x, (k, v)
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, (k_all, v_all) = jax.lax.scan(body, inputs_embeds, params["layers"])
+    hidden = rms_norm(x, params["final_ln_w"], cfg.rms_norm_eps)
+    return hidden, (k_all, v_all)
+
+
+def prefill(
+    params,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, L, D)
+    position_ids: jnp.ndarray,  # (3, B, L)
+    valid: jnp.ndarray,  # (B, L) bool
+    capacity: int,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Causal forward + cache seeded into slots [0, L)."""
+    b, l, _ = inputs_embeds.shape
+    hidden, (k_all, v_all) = text_forward(params, cfg, inputs_embeds, position_ids, valid)
+    pad = [(0, 0), (0, 0), (0, capacity - l), (0, 0), (0, 0)]
+    cache = KVCache(
+        k=jnp.pad(k_all, pad),
+        v=jnp.pad(v_all, pad),
+        valid=jnp.pad(valid, [(0, 0), (0, capacity - l)]),
+        length=jnp.asarray(l, jnp.int32),
+    )
+    return hidden, cache
+
+
+def decode_step(
+    params,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, 1, D)
+    position_ids: jnp.ndarray,  # (3, B, 1)
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step; writes the new KV at slot `cache.length`."""
+    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    pos = cache.length
+    new_valid = cache.valid.at[:, pos].set(True)
+
+    def body(x, layer):
+        lp, k_cache, v_cache = layer
+        xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
+        q, k, v = _qkv(xn, lp, cfg, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, pos, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, pos, axis=1)
+        attn = decode_attention(q, k_cache, v_cache, new_valid)
+        x = x + attn.reshape(*x.shape[:2], -1) @ lp["o_w"]
+        xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
+        x = x + _mlp(xn, lp)
+        return x, (k_cache, v_cache)
+
+    x, (k_new, v_new) = jax.lax.scan(body, inputs_embeds, (params["layers"], cache.k, cache.v))
+    hidden = rms_norm(x, params["final_ln_w"], cfg.rms_norm_eps)
+    return hidden, KVCache(k=k_new, v=v_new, valid=new_valid, length=pos + 1)

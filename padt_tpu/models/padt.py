@@ -1,0 +1,321 @@
+"""PaDT core model: dynamic Visual Reference Token vocabulary on Qwen2.5-VL.
+
+Rebuilds `PaDTForConditionalGeneration` (reference `src/PaDT/models/padt.py`):
+  - visual prototype projection: zero-init LayerNorm + rank-64 bottleneck
+    residual (`padt.py:117-125,134-139,187-191`),
+  - extended embedding table & extended-vocab LM head with per-sample logit
+    masking (`padt.py:193-204,292-301`),
+  - `<|image_pad|>` embedding splice (`padt.py:212-219`),
+  - greedy/sampling generation with KV cache and per-step final-hidden capture
+    (`padt.py:618-800`).
+
+TPU-first divergences (documented per SURVEY.md §7):
+  - Per-sample prototype tables `(B, M_max, D)` instead of one batch-packed
+    table with global VRT ids: VRT token id == vocab_size + LOCAL patch id for
+    every sample. This makes the extended vocab a static shape, removes the
+    reference's `assign_to_global/local_vrt_id` device round-trip, and each
+    sample's logit mask reduces to `patch_id < num_merged[b]`.
+  - The whole decode loop is ONE jitted `lax.while_loop` (vs. one Python-driven
+    HF forward per token): zero host round-trips, early-exits when every
+    sequence hits EOS (SPMD-safe — replaces `synced_gpus` lockstep hacks).
+  - Hidden states are captured into a preallocated (B, T, D) buffer inside the
+    loop carry (vs. the reference's "store all hidden states of every step"
+    tuple, `padt.py:732-737`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PaDTConfig
+from ..ops.norms import layer_norm
+from . import language
+from .language import KVCache
+from .vision import init_vision_params, vision_forward
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def init_padt_params(cfg: PaDTConfig, key, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    from .decoder import init_decoder_params  # local import to avoid cycle
+
+    kv, kt, kp, kd = jax.random.split(key, 4)
+    params: Dict[str, Any] = {
+        "vision": init_vision_params(cfg.vision, kv, dtype),
+        "text": language.init_text_params(cfg.text, kt, dtype),
+        "decoder": init_decoder_params(cfg.decoder, kd, dtype),
+    }
+    if cfg.use_visual_prototype_projection:
+        d = cfg.text.hidden_size
+        r = cfg.prototype_proj_rank
+        k1, k2 = jax.random.split(kp)
+        params["proto"] = {
+            # ZeroInitLayerNorm: weight AND bias zero-init (padt.py:134-139)
+            "ln_w": jnp.zeros((d,), dtype),
+            "ln_b": jnp.zeros((d,), dtype),
+            "down_w": (jax.random.normal(k1, (d, r), jnp.float32) * 0.02).astype(dtype),
+            "up_w": (jax.random.normal(k2, (r, d), jnp.float32) * 0.02).astype(dtype),
+        }
+    return params
+
+
+def image_prototypes(params, cfg: PaDTConfig, merged: jnp.ndarray) -> jnp.ndarray:
+    """merged (B, M, D) raster order -> prototypes (B, M, D) (padt.py:187-191)."""
+    if not cfg.use_visual_prototype_projection:
+        return merged
+    p = params["proto"]
+    x = layer_norm(merged, p["ln_w"], p["ln_b"], eps=1e-5)
+    return x + (x @ p["down_w"]) @ p["up_w"]
+
+
+# ---------------------------------------------------------------------------
+# Embedding / logits over the extended (text + per-sample VRT) vocabulary
+# ---------------------------------------------------------------------------
+
+def extended_embed(
+    params,
+    cfg: PaDTConfig,
+    input_ids: jnp.ndarray,  # (B, L) int32; VRT ids are vocab_size + local patch id
+    proto: jnp.ndarray,  # (B, M, D)
+    merged: Optional[jnp.ndarray] = None,  # (B, M, D) raster merged embeds for image_pad splice
+) -> jnp.ndarray:
+    v = cfg.text.vocab_size
+    embed = params["text"]["embed"]
+    is_vrt = input_ids >= v
+    text_e = embed[jnp.clip(input_ids, 0, v - 1)]
+    local = jnp.clip(input_ids - v, 0, proto.shape[1] - 1)
+    vrt_e = jnp.take_along_axis(proto, local[:, :, None], axis=1)
+    out = jnp.where(is_vrt[:, :, None], vrt_e.astype(text_e.dtype), text_e)
+    if merged is not None:
+        # splice raster-order image embeds over <|image_pad|> runs (padt.py:212-219)
+        is_img = input_ids == cfg.image_token_id
+        slot = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
+        img_e = jnp.take_along_axis(merged, jnp.clip(slot, 0, merged.shape[1] - 1)[:, :, None], axis=1)
+        out = jnp.where(is_img[:, :, None], img_e.astype(out.dtype), out)
+    return out
+
+
+def extended_logits(
+    params,
+    cfg: PaDTConfig,
+    hidden: jnp.ndarray,  # (B, L, D)
+    proto: jnp.ndarray,  # (B, M, D)
+    num_merged: jnp.ndarray,  # (B,) valid patch count per sample
+) -> jnp.ndarray:
+    """(B, L, V + M) logits; invalid VRT slots masked to NEG_INF
+    (reference extended-vocab head + logit mask, padt.py:292-301,196-201)."""
+    w = params["text"]["embed"] if cfg.text.tie_word_embeddings else params["text"]["lm_head"]
+    lt = jnp.einsum("bld,vd->blv", hidden, w, preferred_element_type=jnp.float32)
+    lv = jnp.einsum("bld,bmd->blm", hidden, proto, preferred_element_type=jnp.float32)
+    slot_ok = jnp.arange(proto.shape[1])[None, :] < num_merged[:, None]  # (B, M)
+    lv = jnp.where(slot_ok[:, None, :], lv, NEG_INF)
+    return jnp.concatenate([lt, lv], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forced forward (training & prefill building block)
+# ---------------------------------------------------------------------------
+
+class VisionArtifacts(NamedTuple):
+    """Vision-side tensors the PaDT decoder consumes, carried through
+    generation (the reference shuttles these as `past_*` kwargs,
+    `padt.py:330-339,677-706`)."""
+
+    merged: jnp.ndarray  # (B, M, D_llm) raster order
+    proto: jnp.ndarray  # (B, M, D_llm) raster order (low-res memory + VRT embeds)
+    high_res: jnp.ndarray  # (B, S, D_vis) WINDOW order
+    pe_cos: jnp.ndarray  # (B, S, head_dim_vis) WINDOW order
+    pe_sin: jnp.ndarray
+    num_merged: jnp.ndarray  # (B,)
+    num_patches: jnp.ndarray  # (B,)
+    grid_thw: jnp.ndarray  # (B, 3)
+
+
+def run_vision(params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False) -> VisionArtifacts:
+    merged, high_res, (cos, sin) = vision_forward(
+        params["vision"],
+        cfg.vision,
+        batch["pixel_patches"],
+        batch["window_index"],
+        batch["inv_window_index"],
+        batch["seg_win"],
+        batch["seg_full"],
+        batch["hpos"],
+        batch["wpos"],
+        remat=remat,
+    )
+    proto = image_prototypes(params, cfg, merged)
+    return VisionArtifacts(
+        merged=merged,
+        proto=proto,
+        high_res=high_res,
+        pe_cos=cos,
+        pe_sin=sin,
+        num_merged=batch["num_merged"],
+        num_patches=batch["num_patches"],
+        grid_thw=batch["grid_thw"],
+    )
+
+
+def forward_train(
+    params,
+    cfg: PaDTConfig,
+    batch: Dict[str, jnp.ndarray],
+    logits_slice: Optional[Tuple[int, int]] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, VisionArtifacts]:
+    """Teacher-forced forward (reference forward_main, padt.py:147-340).
+
+    batch keys: pixel_patches, window_index, inv_window_index, seg_win, seg_full,
+    hpos, wpos, num_merged, num_patches, grid_thw, input_ids (B,L),
+    attention_mask (B,L), position_ids (3,B,L).
+
+    logits_slice=(start, length): compute extended logits only for hidden
+    positions [start, start+length) — the completion region — instead of the
+    full sequence (the reference materializes full-sequence extended logits and
+    slices after, `padt_sft_trainer.py:471`).
+
+    Returns (logits (B, Lc, V+M) fp32, hidden (B, L, D), artifacts).
+    """
+    art = run_vision(params, cfg, batch, remat=remat)
+    embeds = extended_embed(params, cfg, batch["input_ids"], art.proto, art.merged)
+    hidden, _ = language.text_forward(
+        params["text"], cfg.text, embeds, batch["position_ids"],
+        batch["attention_mask"].astype(bool), remat=remat,
+    )
+    h = hidden
+    if logits_slice is not None:
+        start, length = logits_slice
+        h = jax.lax.dynamic_slice_in_dim(hidden, start, length, axis=1)
+    logits = extended_logits(params, cfg, h, art.proto, art.num_merged)
+    return logits, hidden, art
+
+
+# ---------------------------------------------------------------------------
+# Generation (prefill + fused while_loop decode)
+# ---------------------------------------------------------------------------
+
+class GenerateOutput(NamedTuple):
+    tokens: jnp.ndarray  # (B, T) int32 — generated tokens (pad after EOS)
+    hidden: jnp.ndarray  # (B, T, D) — final-layer hidden that PRODUCED each token
+    num_generated: jnp.ndarray  # (B,) int32 — tokens before (and incl.) EOS
+    artifacts: VisionArtifacts
+
+
+def generate(
+    params,
+    cfg: PaDTConfig,
+    batch: Dict[str, jnp.ndarray],
+    max_new_tokens: int,
+    rope_deltas: jnp.ndarray,  # (B,) from mrope_index.get_rope_index
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    eos_token_id: Optional[int] = None,
+) -> GenerateOutput:
+    """Greedy/sampled generation. Everything device-resident; per-token cost is
+    one fused decode step (the hot loop the reference runs through HF
+    `_sample_vision_token`, one Python iteration + kwargs shuttling per token)."""
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    tcfg = cfg.text
+    b, l = batch["input_ids"].shape
+    capacity = l + max_new_tokens
+    dtype = params["text"]["embed"].dtype
+
+    art = run_vision(params, cfg, batch)
+    embeds = extended_embed(params, cfg, batch["input_ids"], art.proto, art.merged)
+    valid = batch["attention_mask"].astype(bool)
+    hidden, cache = language.prefill(
+        params["text"], tcfg, embeds, batch["position_ids"], valid, capacity
+    )
+    last_hidden = hidden[:, -1:, :]  # (B,1,D) — predicts the first new token
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    tokens_buf = jnp.full((b, max_new_tokens), cfg.pad_token_id, jnp.int32)
+    hidden_buf = jnp.zeros((b, max_new_tokens, tcfg.hidden_size), dtype)
+    finished = jnp.zeros((b,), bool)
+    num_gen = jnp.zeros((b,), jnp.int32)
+
+    def select_token(h, key):
+        logits = extended_logits(params, cfg, h, art.proto, art.num_merged)[:, 0]  # (B, Vext)
+        if do_sample:
+            return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def cond(carry):
+        step, finished, *_ = carry
+        return (step < max_new_tokens) & ~jnp.all(finished)
+
+    def body(carry):
+        step, finished, num_gen, cur_hidden, cache, tokens_buf, hidden_buf, key = carry
+        key, sub = jax.random.split(key)
+        tok = select_token(cur_hidden, sub)
+        tok = jnp.where(finished, cfg.pad_token_id, tok)
+        tokens_buf = jax.lax.dynamic_update_slice_in_dim(tokens_buf, tok[:, None], step, axis=1)
+        hidden_buf = jax.lax.dynamic_update_slice_in_dim(hidden_buf, cur_hidden, step, axis=1)
+        num_gen = num_gen + (~finished).astype(jnp.int32)
+        finished = finished | (tok == eos)
+        # next-step embedding + positions
+        emb = extended_embed(params, cfg, tok[:, None], art.proto)
+        pos = (l + step + rope_deltas).astype(jnp.int32)  # (B,) text stream; all 3 equal
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, b, 1))
+        new_hidden, cache = language.decode_step(params["text"], tcfg, emb, pos3, cache)
+        return step + 1, finished, num_gen, new_hidden, cache, tokens_buf, hidden_buf, key
+
+    carry = (jnp.asarray(0, jnp.int32), finished, num_gen, last_hidden, cache, tokens_buf, hidden_buf, rng)
+    step, finished, num_gen, _, _, tokens_buf, hidden_buf, _ = jax.lax.while_loop(cond, body, carry)
+    return GenerateOutput(tokens=tokens_buf, hidden=hidden_buf, num_generated=num_gen, artifacts=art)
+
+
+# ---------------------------------------------------------------------------
+# vl_decode glue: per-object VRT hidden groups -> perception decoder
+# ---------------------------------------------------------------------------
+
+def vl_decode(
+    params,
+    cfg: PaDTConfig,
+    vrt_feats: jnp.ndarray,  # (N, K_max, D_llm) — parser-gathered VRT hidden states
+    vrt_counts: jnp.ndarray,  # (N,)
+    obj_valid: jnp.ndarray,  # (N,) bool
+    obj_sample: jnp.ndarray,  # (N,) int32
+    art: VisionArtifacts,
+    canvas_hw: Optional[Tuple[int, int]] = None,
+    compute_mask: bool = True,
+):
+    """Reference `vl_decode` (padt.py:342-412). The reference repeats each
+    image's feats per object into a ragged cu_seqlens batch and runs a dummy
+    decoder pass when there are no objects (ZeRO-3 sync); here objects index
+    their sample's padded memory directly and padding objects are masked —
+    under SPMD the decoder always executes with static shapes."""
+    from .decoder import decoder_forward
+
+    if canvas_hw is None:
+        # static bucket: worst-case grid dims given the patch budget
+        side = int(cfg.max_image_patches**0.5) + 1
+        canvas_hw = (side, side)
+    return decoder_forward(
+        params["decoder"],
+        cfg.decoder,
+        vrt_feats,
+        vrt_counts,
+        obj_valid,
+        obj_sample,
+        art.proto,
+        art.high_res,
+        art.pe_cos,
+        art.pe_sin,
+        art.num_merged,
+        art.num_patches,
+        art.grid_thw,
+        canvas_hw,
+        compute_mask=compute_mask and cfg.decoder.use_mask_head,
+    )

@@ -1,0 +1,149 @@
+"""Qwen2.5-VL vision tower, TPU-native.
+
+Reference behavior being rebuilt: `custom_visual_forward` (reference
+`src/PaDT/models/padt.py:48-108`) — patch embed -> window reorder -> depth
+blocks alternating windowed/full attention (`fullatt_block_indexes`) -> merger;
+returns the PaDT triple:
+  (merged raster-order, high_res window-order, rope (cos,sin) window-order).
+
+TPU-first design:
+  - one image per sample, padded to a static patch bucket (B, S, ...) — replaces
+    the packed varlen + cu_seqlens layout;
+  - window/full attention expressed as segment-id masked dense attention
+    (`ops.attention.segment_attention`) — replaces flash_attn_varlen_func;
+  - the depth-block loop is a `lax.scan` over stacked per-layer params with a
+    per-layer "is full attention" flag, rematerialized for training;
+  - all geometry (window index, segments, rope positions) precomputed host-side
+    (`vision_geom.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisionConfig
+from ..ops.attention import segment_attention
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rotary, vision_rope_cos_sin
+
+
+def _linear(p, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_vision_params(cfg: VisionConfig, key, dtype=jnp.bfloat16):
+    """Random init (converter overwrites for real checkpoints)."""
+    d, ff, depth = cfg.hidden_size, cfg.intermediate_size, cfg.depth
+    pid = cfg.patch_input_dim
+    out = cfg.out_hidden_size
+    merged_dim = d * cfg.spatial_merge_unit
+    ks = jax.random.split(key, 8)
+
+    def w(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    def stack(shape, key, scale=0.02):
+        return (jax.random.normal(key, (depth, *shape), jnp.float32) * scale).astype(dtype)
+
+    blocks = {
+        "norm1_w": jnp.ones((depth, d), dtype),
+        "norm2_w": jnp.ones((depth, d), dtype),
+        "qkv_w": stack((d, 3 * d), ks[0]),
+        "qkv_b": jnp.zeros((depth, 3 * d), dtype),
+        "proj_w": stack((d, d), ks[1]),
+        "proj_b": jnp.zeros((depth, d), dtype),
+        "gate_w": stack((d, ff), ks[2]),
+        "gate_b": jnp.zeros((depth, ff), dtype),
+        "up_w": stack((d, ff), ks[3]),
+        "up_b": jnp.zeros((depth, ff), dtype),
+        "down_w": stack((ff, d), ks[4]),
+        "down_b": jnp.zeros((depth, d), dtype),
+    }
+    return {
+        "patch_embed": {"w": w(ks[5], (pid, d))},
+        "blocks": blocks,
+        "merger": {
+            "ln_q_w": jnp.ones((d,), dtype),
+            "fc1": {"w": w(ks[6], (merged_dim, merged_dim)), "b": jnp.zeros((merged_dim,), dtype)},
+            "fc2": {"w": w(ks[7], (merged_dim, out)), "b": jnp.zeros((out,), dtype)},
+        },
+    }
+
+
+def _block(x, lp, cos, sin, seg, cfg: VisionConfig):
+    b, s, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    # --- attention ---
+    xn = rms_norm(x, lp["norm1_w"], cfg.rms_norm_eps)
+    qkv = xn @ lp["qkv_w"] + lp["qkv_b"]  # (B, S, 3D)
+    qkv = qkv.reshape(b, s, 3, h, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    # rotary on q/k in fp32 (monkey-patch parity, qwen2_5vl_monkey_patch.py:29-30)
+    q = apply_rotary(q, cos[:, :, None, :], sin[:, :, None, :])
+    k = apply_rotary(k, cos[:, :, None, :], sin[:, :, None, :])
+    attn = segment_attention(q, k, v, seg).reshape(b, s, d)
+    x = x + (attn @ lp["proj_w"] + lp["proj_b"])
+    # --- gated MLP (SiLU) ---
+    xn = rms_norm(x, lp["norm2_w"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(xn @ lp["gate_w"] + lp["gate_b"])
+    up = xn @ lp["up_w"] + lp["up_b"]
+    x = x + (gate * up) @ lp["down_w"] + lp["down_b"]
+    return x
+
+
+def vision_forward(
+    params,
+    cfg: VisionConfig,
+    pixels: jnp.ndarray,  # (B, S, patch_input_dim)
+    window_index: jnp.ndarray,  # (B, M)
+    inv_window_index: jnp.ndarray,  # (B, M)
+    seg_win: jnp.ndarray,  # (B, S)
+    seg_full: jnp.ndarray,  # (B, S)
+    hpos: jnp.ndarray,  # (B, S)
+    wpos: jnp.ndarray,  # (B, S)
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Returns (merged (B,M,out) raster order,
+                high_res (B,S,D) window order,
+                (cos, sin) (B,S,head_dim) window order)."""
+    b, s, _ = pixels.shape
+    unit = cfg.spatial_merge_unit
+    m = s // unit
+    dtype = params["patch_embed"]["w"].dtype
+
+    x = pixels.astype(dtype) @ params["patch_embed"]["w"]  # (B, S, D)
+    # window reorder at merge-group granularity (padt.py:70-72)
+    x = x.reshape(b, m, unit, cfg.hidden_size)
+    x = jnp.take_along_axis(x, window_index[:, :, None, None], axis=1)
+    x = x.reshape(b, s, cfg.hidden_size)
+
+    cos, sin = vision_rope_cos_sin(hpos, wpos, cfg.head_dim)
+
+    is_full = jnp.zeros((cfg.depth,), dtype=bool).at[jnp.asarray(cfg.fullatt_block_indexes)].set(True)
+
+    def body(xc, layer):
+        lp, full = layer
+        seg = jnp.where(full, seg_full, seg_win)
+        return _block(xc, lp, cos, sin, seg, cfg), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
+
+    high_res = x
+    # merger: RMSNorm then 4-group concat MLP (Qwen2_5_VLPatchMerger)
+    mp = params["merger"]
+    y = rms_norm(x, mp["ln_q_w"], cfg.rms_norm_eps)
+    y = y.reshape(b, m, unit * cfg.hidden_size)
+    y = jax.nn.gelu(_linear(mp["fc1"], y), approximate=False)
+    merged = _linear(mp["fc2"], y)  # (B, M, out) window order
+    # un-permute to raster order (padt.py:103-104)
+    merged = jnp.take_along_axis(merged, inv_window_index[:, :, None], axis=1)
+    return merged, high_res, (cos, sin)

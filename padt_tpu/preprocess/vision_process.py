@@ -1,0 +1,196 @@
+"""Qwen2.5-VL image preprocessing in pure numpy/PIL.
+
+Replaces the reference's dependency on HF `Qwen2VLImageProcessor` +
+`qwen_vl_utils.process_vision_info` (reference `eval/test_demo.py:2,62`).
+Behavior parity targets:
+  - smart_resize rounding to multiples of patch*merge=28 within [min_pixels, max_pixels],
+  - bicubic resize, rescale 1/255, OPENAI-CLIP mean/std normalization,
+  - patch flattening into (grid_t*grid_h*grid_w, C*tP*P*P) rows ordered by
+    2x2 spatial-merge groups (so consecutive 4 rows form one merged patch),
+  - min-28px guard used by the reference at call sites
+    (`eval/evaluation_scripts/utils.py:205-219`, `padt_sft_trainer.py:344-356`),
+  - max-side-644 eval-time resize tip (`eval/test_demo.py:64-73`).
+Verified against transformers' Qwen2VLImageProcessor in tests/test_preprocess.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+IMAGE_FACTOR = 28
+DEFAULT_MIN_PIXELS = 56 * 56
+DEFAULT_MAX_PIXELS = 28 * 28 * 1280
+MAX_RATIO = 200
+
+
+def round_by_factor(x: float, factor: int) -> int:
+    return round(x / factor) * factor
+
+
+def ceil_by_factor(x: float, factor: int) -> int:
+    return math.ceil(x / factor) * factor
+
+
+def floor_by_factor(x: float, factor: int) -> int:
+    return math.floor(x / factor) * factor
+
+
+def smart_resize(
+    height: int,
+    width: int,
+    factor: int = IMAGE_FACTOR,
+    min_pixels: int = DEFAULT_MIN_PIXELS,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+) -> Tuple[int, int]:
+    """Rescale (height, width) to multiples of `factor` within the pixel budget.
+
+    Same rounding rules as the HF Qwen2-VL processor; any off-by-one here would
+    shift the whole VRT patch grid (see SURVEY.md "hard parts").
+    """
+    if max(height, width) / min(height, width) > MAX_RATIO:
+        raise ValueError(
+            f"absolute aspect ratio must be smaller than {MAX_RATIO}, got "
+            f"{max(height, width) / min(height, width)}"
+        )
+    h_bar = max(factor, round_by_factor(height, factor))
+    w_bar = max(factor, round_by_factor(width, factor))
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, floor_by_factor(height / beta, factor))
+        w_bar = max(factor, floor_by_factor(width / beta, factor))
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = ceil_by_factor(height * beta, factor)
+        w_bar = ceil_by_factor(width * beta, factor)
+    return h_bar, w_bar
+
+
+def ensure_min_28(image):
+    """Upscale so both sides are >=28px, keeping aspect ratio (reference
+    `utils.py:205-219`)."""
+    import PIL.Image
+
+    w, h = image.size
+    if w >= 28 and h >= 28:
+        return image
+    if w < h:
+        new_w, new_h = 28, int(h * (28 / w))
+    else:
+        new_h, new_w = 28, int(w * (28 / h))
+    return image.resize((new_w, new_h), PIL.Image.Resampling.LANCZOS)
+
+
+def resize_max_side(image, max_side: int = 644):
+    """Eval-time resize tip: COCO train images are <=640px so cap the max side
+    at 644 (reference `eval/test_demo.py:64-73`)."""
+    import PIL.Image
+
+    w, h = image.size
+    scale = max_side / max(w, h)
+    return image.resize((int(w * scale), int(h * scale)), PIL.Image.Resampling.LANCZOS)
+
+
+@dataclass
+class ProcessedImage:
+    pixel_patches: np.ndarray  # (grid_t*grid_h*grid_w, C*tP*P*P) float32
+    grid_thw: Tuple[int, int, int]  # (t, h, w) in 14px patch units
+
+    @property
+    def num_patches(self) -> int:
+        t, h, w = self.grid_thw
+        return t * h * w
+
+    @property
+    def num_merged_patches(self) -> int:
+        t, h, w = self.grid_thw
+        return t * h * w // 4
+
+
+def process_image(
+    image,
+    min_pixels: int = DEFAULT_MIN_PIXELS,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    mean: Tuple[float, ...] = OPENAI_CLIP_MEAN,
+    std: Tuple[float, ...] = OPENAI_CLIP_STD,
+) -> ProcessedImage:
+    """PIL image (or HWC uint8 array) -> flattened patch rows + grid_thw.
+
+    Row ordering matches the HF processor: reshape to
+      (grid_t, tP, C, grid_h/m, m, P, grid_w/m, m, P)
+    then transpose to (grid_t, grid_h/m, grid_w/m, m, m, C, tP, P, P) and flatten —
+    i.e. rows are grouped by 2x2 merge blocks in raster order of merged patches.
+    """
+    import PIL.Image
+
+    if isinstance(image, np.ndarray):
+        image = PIL.Image.fromarray(image)
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+
+    h, w = image.height, image.width
+    resized_h, resized_w = smart_resize(h, w, IMAGE_FACTOR, min_pixels, max_pixels)
+    image = image.resize((resized_w, resized_h), PIL.Image.Resampling.BICUBIC)
+
+    arr = np.asarray(image, dtype=np.float32) / 255.0  # HWC
+    arr = (arr - np.asarray(mean, dtype=np.float32)) / np.asarray(std, dtype=np.float32)
+    arr = arr.transpose(2, 0, 1)  # CHW
+
+    patches = arr[np.newaxis]  # (1, C, H, W) — single frame
+    if patches.shape[0] % temporal_patch_size != 0:
+        reps = np.tile(patches[-1:], (temporal_patch_size - patches.shape[0] % temporal_patch_size, 1, 1, 1))
+        patches = np.concatenate([patches, reps], axis=0)
+
+    channel = patches.shape[1]
+    grid_t = patches.shape[0] // temporal_patch_size
+    grid_h, grid_w = resized_h // patch_size, resized_w // patch_size
+    patches = patches.reshape(
+        grid_t,
+        temporal_patch_size,
+        channel,
+        grid_h // merge_size,
+        merge_size,
+        patch_size,
+        grid_w // merge_size,
+        merge_size,
+        patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(
+        grid_t * grid_h * grid_w, channel * temporal_patch_size * patch_size * patch_size
+    )
+    return ProcessedImage(pixel_patches=flat, grid_thw=(grid_t, grid_h, grid_w))
+
+
+def batch_images(
+    processed: List[ProcessedImage], max_patches: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad a list of per-sample images to a static (B, S_max, D) batch.
+
+    TPU-first divergence from the reference: the reference packs all images into
+    one varlen sequence with cu_seqlens (`padt.py:79-87`); we keep one image per
+    sample (the trainer asserts single-image samples, `padt_sft_trainer.py:341`)
+    and pad to a bucketed S_max so XLA sees static shapes.
+    """
+    if max_patches is None:
+        max_patches = max(p.num_patches for p in processed)
+        max_patches = -(-max_patches // 64) * 64  # round up to 64
+    dim = processed[0].pixel_patches.shape[-1]
+    out = np.zeros((len(processed), max_patches, dim), dtype=np.float32)
+    grids = np.zeros((len(processed), 3), dtype=np.int32)
+    for i, p in enumerate(processed):
+        n = p.num_patches
+        if n > max_patches:
+            raise ValueError(f"image has {n} patches > bucket {max_patches}")
+        out[i, :n] = p.pixel_patches
+        grids[i] = p.grid_thw
+    return out, grids
