@@ -193,7 +193,7 @@ def padt_tiny(vocab_size: int = 1024) -> PaDTConfig:
         decoder=DecoderConfig(hidden_size=64, intermediate_size=128, num_heads=4, llm_hidden_size=96),
         image_token_id=vocab_size - 10,
         video_token_id=vocab_size - 9,
-        vision_start_token_id=vocab_size - 11,
+        vision_start_token_id=vocab_size - 12,
         eos_token_id=vocab_size - 1,
         pad_token_id=vocab_size - 2,
         max_image_patches=256,
