@@ -1,0 +1,132 @@
+"""Benchmark: PaDT REC-style decode throughput on one chip.
+
+Workload mirrors the reference's eval configuration (BASELINE.md): PaDT-3B
+architecture, bf16, one 644px-class image per sample (46x46 patch grid -> 529
+merged patches / VRTs), greedy decode with KV cache and per-step hidden-state
+capture — the hot path of `eval/evaluation_scripts/utils.py:233-236`.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
+decode tokens/sec/chip (decode-slope measurement: two different generation
+lengths, differenced to remove prefill+vision cost).
+
+Env overrides: PADT_BENCH_BATCH (default 8), PADT_BENCH_SMALL=1 (tiny config
+for CPU smoke runs), PADT_BENCH_BASELINE (tokens/sec to compare against, else
+BENCH_BASELINE.json if present).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _config():
+    import dataclasses
+
+    from padt_tpu.config import padt_3b, padt_tiny
+
+    if os.environ.get("PADT_BENCH_SMALL", "0") == "1":
+        return padt_tiny().replace(max_image_patches=256), 2, 8, 16, (1, 8, 12)
+    cfg = padt_3b().replace(max_image_patches=2304)
+    batch = int(os.environ.get("PADT_BENCH_BATCH", "8"))
+    return cfg, batch, 16, 80, (1, 46, 46)  # grid = 644px image
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from padt_tpu.models import padt as P
+    from padt_tpu.models.mrope_index import get_rope_index
+    from padt_tpu.models.vision_geom import vision_geometry
+
+    cfg, batch_size, n_short, n_long, grid = _config()
+    dtype = jnp.bfloat16
+
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
+
+    grids = [grid] * batch_size
+    s_max = cfg.max_image_patches
+    geom = vision_geometry(grids, s_max)
+    rng = np.random.RandomState(0)
+    pix = rng.randn(batch_size, s_max, cfg.vision.patch_input_dim).astype(np.float32)
+
+    nm = grid[0] * grid[1] * grid[2] // 4
+    prompt_extra = 40  # REC prompt text tokens
+    l = -(-(nm + prompt_extra + 8) // 64) * 64
+    ids = np.full((batch_size, l), cfg.pad_token_id, np.int64)
+    am = np.zeros((batch_size, l), np.int64)
+    seq = [cfg.vision_start_token_id] + [cfg.image_token_id] * nm + list(range(1000, 1000 + prompt_extra))
+    for i in range(batch_size):
+        ids[i, l - len(seq):] = seq
+        am[i, l - len(seq):] = 1
+    pos, deltas = get_rope_index(ids, am, np.array(grids), cfg.image_token_id)
+
+    batch = dict(
+        pixel_patches=jnp.asarray(pix),
+        window_index=jnp.asarray(geom.window_index),
+        inv_window_index=jnp.asarray(geom.inv_window_index),
+        seg_win=jnp.asarray(geom.seg_win),
+        seg_full=jnp.asarray(geom.seg_full),
+        hpos=jnp.asarray(geom.hpos),
+        wpos=jnp.asarray(geom.wpos),
+        num_merged=jnp.asarray(geom.num_merged),
+        num_patches=jnp.asarray(geom.num_patches),
+        grid_thw=jnp.asarray(geom.grid_thw),
+        input_ids=jnp.asarray(ids, jnp.int32),
+        attention_mask=jnp.asarray(am, jnp.int32),
+        position_ids=jnp.asarray(pos),
+    )
+    deltas = jnp.asarray(deltas)
+
+    def run(n_new):
+        f = jax.jit(lambda p, b, d: P.generate(p, cfg, b, n_new, d), static_argnums=())
+        out = f(params, batch, deltas)
+        jax.block_until_ready(out.tokens)  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(params, batch, deltas)
+            jax.block_until_ready(out.tokens)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_short = run(n_short)
+    t_long = run(n_long)
+    decode_tps = batch_size * (n_long - n_short) / max(t_long - t_short, 1e-9)
+    per_seq = decode_tps / batch_size
+    # queries/sec/chip at the reference decode budget-ish completion (~25 tokens REC)
+    qps = decode_tps / 25.0
+
+    baseline = None
+    if os.environ.get("PADT_BENCH_BASELINE"):
+        baseline = float(os.environ["PADT_BENCH_BASELINE"])
+    elif os.path.exists("BENCH_BASELINE.json"):
+        try:
+            baseline = float(json.load(open("BENCH_BASELINE.json"))["value"])
+        except Exception:
+            baseline = None
+    vs = (decode_tps / baseline) if baseline else 1.0
+
+    result = {
+        "metric": "decode_tokens_per_sec_per_chip",
+        "value": round(decode_tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(vs, 3),
+        "detail": {
+            "batch": batch_size,
+            "prompt_len": int(l),
+            "merged_patches": int(nm),
+            "per_seq_tokens_per_sec": round(per_seq, 2),
+            "rec_queries_per_sec_est": round(qps, 2),
+            "t_prefill_plus_short_s": round(t_short, 3),
+            "t_long_s": round(t_long, 3),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Device mesh + sharding rules: the TPU-native replacement for the
+reference's distribution stack (SURVEY.md §2.2/§2.4).
+
+Reference -> here:
+  - torchrun 8-proc DP                 -> batch sharded over ('data','fsdp')
+  - DeepSpeed ZeRO-3 param/opt shard   -> params NamedSharding over 'fsdp'
+    (XLA schedules all-gather/reduce-scatter over ICI automatically; no
+    GatheredParameters / gather-for-generate hacks needed)
+  - (not in reference) tensor parallel -> head/ffn dims over 'tensor'
+  - NCCL collectives                   -> XLA collectives inserted by GSPMD
+  - synced_gpus lockstep decode        -> SPMD jit is lockstep by construction
+
+Sharding rules are name-based over the param pytree; any dim not divisible by
+its mesh axis falls back to replication (correct, just less sharded).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = 1,
+    fsdp: int = 1,
+    tensor: int = 1,
+    devices=None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = data * fsdp * tensor
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh((data, fsdp, tensor), devices=devices[:n])
+    except Exception:
+        dev_array = np.asarray(devices[:n]).reshape(data, fsdp, tensor)
+    return Mesh(dev_array, ("data", "fsdp", "tensor"))
+
+
+# ---------------------------------------------------------------------------
+# parameter sharding rules
+# ---------------------------------------------------------------------------
+
+# text layer leaves are stacked (L, in, out): axis 0 = layer, never sharded
+_TEXT_RULES: Dict[str, P] = {
+    "embed": P("fsdp", "tensor"),
+    "lm_head": P("fsdp", "tensor"),
+    "final_ln_w": P(),
+    "layers/input_ln_w": P(),
+    "layers/post_ln_w": P(),
+    "layers/q_w": P(None, "fsdp", "tensor"),
+    "layers/q_b": P(None, "tensor"),
+    "layers/k_w": P(None, "fsdp", "tensor"),
+    "layers/k_b": P(None, "tensor"),
+    "layers/v_w": P(None, "fsdp", "tensor"),
+    "layers/v_b": P(None, "tensor"),
+    "layers/o_w": P(None, "tensor", "fsdp"),
+    "layers/gate_w": P(None, "fsdp", "tensor"),
+    "layers/up_w": P(None, "fsdp", "tensor"),
+    "layers/down_w": P(None, "tensor", "fsdp"),
+}
+
+_VISION_RULES: Dict[str, P] = {
+    "patch_embed/w": P(None, "fsdp"),
+    "blocks/qkv_w": P(None, "fsdp", "tensor"),
+    "blocks/qkv_b": P(None, "tensor"),
+    "blocks/proj_w": P(None, "tensor", "fsdp"),
+    "blocks/proj_b": P(None,),
+    "blocks/gate_w": P(None, "fsdp", "tensor"),
+    "blocks/gate_b": P(None, "tensor"),
+    "blocks/up_w": P(None, "fsdp", "tensor"),
+    "blocks/up_b": P(None, "tensor"),
+    "blocks/down_w": P(None, "tensor", "fsdp"),
+    "blocks/down_b": P(None,),
+    "merger/fc1/w": P("fsdp", "tensor"),
+    "merger/fc2/w": P("tensor", "fsdp"),
+}
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def _spec_for(path: str, leaf, mesh: Mesh) -> P:
+    rules = None
+    if path.startswith("text/"):
+        rules = _TEXT_RULES
+        sub = path[len("text/"):]
+    elif path.startswith("vision/"):
+        rules = _VISION_RULES
+        sub = path[len("vision/"):]
+    else:
+        sub = path  # decoder / proto: small, shard biggest dim over fsdp
+        rules = {}
+
+    spec = rules.get(sub)
+    if spec is None:
+        # generic fallback: shard the largest dim >= 2 axes over fsdp
+        shape = np.shape(leaf)
+        if len(shape) >= 2 and max(shape) >= 1024:
+            axis = int(np.argmax(shape))
+            spec = P(*[("fsdp" if i == axis else None) for i in range(len(shape))])
+        else:
+            spec = P()
+
+    # divisibility check: drop axes that don't divide
+    shape = np.shape(leaf)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    fixed = []
+    for i, s in enumerate(spec):
+        if s is None:
+            fixed.append(None)
+            continue
+        names = s if isinstance(s, tuple) else (s,)
+        total = int(np.prod([sizes[nm] for nm in names]))
+        fixed.append(s if (i < len(shape) and shape[i] % total == 0) else None)
+    # pad spec to rank
+    while len(fixed) < len(shape):
+        fixed.append(None)
+    return P(*fixed[: len(shape)])
+
+
+def param_shardings(params: Any, mesh: Mesh):
+    """Param pytree -> matching pytree of NamedShardings (FSDP+TP rules)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(_path_str(path), leaf, mesh)),
+        params,
+    )
+
+
+def batch_shardings(batch: Dict[str, Any], mesh: Mesh):
+    """Batch dict -> shardings: leading batch dim over ('data','fsdp');
+    position_ids (3, B, L) over axis 1."""
+    out = {}
+    dp = ("data", "fsdp")
+    for k, v in batch.items():
+        shape = np.shape(v)
+        if k == "position_ids":
+            out[k] = NamedSharding(mesh, P(None, dp))
+        elif len(shape) >= 1 and shape[0] % (mesh.shape["data"] * mesh.shape["fsdp"]) == 0:
+            out[k] = NamedSharding(mesh, P(dp, *([None] * (len(shape) - 1))))
+        else:
+            out[k] = NamedSharding(mesh, P())
+    return out
+
+
+def shard_params(params, mesh: Mesh):
+    """Place (possibly host) params onto the mesh with the FSDP/TP layout."""
+    sh = param_shardings(params, mesh)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

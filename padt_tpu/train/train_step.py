@@ -1,0 +1,180 @@
+"""Jitted SFT train step: the four PaDT losses on one fused device program.
+
+Rebuilds `PaDTSFTTrainer.compute_loss` (reference `padt_sft_trainer.py:330-540`)
+as a single differentiable function:
+  sft token CE (robust VP mask) + bbox (GIoU+L1) + score MSE + mask (dice+focal)
+with the warm-up substitution (feed VRT *prototypes* instead of hidden states
+early in training, `padt_sft_trainer.py:485-487`) as a traced boolean switch.
+
+The reference's host-side work (completion synthesis, VRT re-parse, GT decode)
+lives in train/data.py — this module is pure device compute under jit/pjit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import PaDTConfig
+from ..models import padt as padt_model
+from . import losses
+
+
+class LossConfig(NamedTuple):
+    """Static loss switches (reference PaDTSFTConfig flags,
+    `padt_sft_config.py:38-76`)."""
+
+    use_bbox_loss: bool = True
+    use_score_loss: bool = True
+    use_mask_loss: bool = True
+    use_sft_vp_mask: bool = True
+    use_warm_up: bool = True
+
+
+def padt_loss(
+    params,
+    cfg: PaDTConfig,
+    batch: Dict[str, jnp.ndarray],
+    prompt_length: int,
+    canvas_hw: Tuple[int, int],
+    lcfg: LossConfig,
+    warmup: jnp.ndarray,  # () bool — warm-up prototype substitution active
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    lp = prompt_length
+    l = batch["input_ids"].shape[1]
+    lc = l - lp
+
+    logits, hidden, art = padt_model.forward_train(
+        params, cfg, batch, logits_slice=(lp - 1, lc), remat=True
+    )
+    target_ids = batch["input_ids"][:, lp:]
+    comp_mask = batch["completion_mask"][:, lp:].astype(jnp.float32)
+
+    sft = losses.sft_token_loss(
+        logits,
+        target_ids,
+        comp_mask,
+        batch["vrt_penalty_mask"],
+        cfg.text.vocab_size,
+        use_vp_mask=lcfg.use_sft_vp_mask,
+    )
+    sft_loss = sft.mean()
+    metrics = {"sft_loss": sft_loss}
+
+    # --- perception decoder on VRT hidden states (or prototypes in warm-up) ---
+    obj_sample = batch["obj_sample"]
+    feats = hidden[obj_sample[:, None], batch["gather_pos"]]  # (N, K, D)
+    if lcfg.use_warm_up:
+        proto_feats = art.proto[obj_sample[:, None], batch["picked_patch_ids"]]
+        feats = jnp.where(warmup, proto_feats.astype(feats.dtype), feats)
+
+    dec = padt_model.vl_decode(
+        params,
+        cfg,
+        feats,
+        batch["vrt_counts"],
+        batch["obj_valid"],
+        obj_sample,
+        art,
+        canvas_hw=canvas_hw,
+        compute_mask=lcfg.use_mask_loss,
+    )
+
+    obj_valid = batch["obj_valid"]
+    total = sft_loss
+
+    if lcfg.use_bbox_loss:
+        bl = losses.bbox_losses(dec.pred_boxes, batch["gt_boxes"], obj_valid)
+        total = total + bl["bbox_loss"]
+        metrics.update(bbox_loss=bl["bbox_loss"], iou=bl["iou_mean"], giou=bl["giou_mean"])
+        if lcfg.use_score_loss:
+            sc = losses.score_loss(dec.pred_score, bl["giou"], obj_valid)
+            total = total + sc
+            metrics["score_loss"] = sc
+
+    if lcfg.use_mask_loss:
+        gt_mask = batch["gt_mask"]
+        # invalid objects contribute empty loss masks (reference zero canvases)
+        lm = batch["gt_mask_valid"] * obj_valid[:, None, None]
+        ml = losses.dice_loss(dec.pred_mask, gt_mask, lm) + losses.sigmoid_focal_loss(
+            dec.pred_mask, gt_mask, lm
+        )
+        total = total + ml
+        metrics["mask_loss"] = ml
+
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_optimizer(
+    learning_rate: float = 2e-5,
+    weight_decay: float = 0.0,
+    max_grad_norm: float = 1.0,
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    schedule: str = "linear",
+) -> optax.GradientTransformation:
+    """AdamW + clip, matching the reference's HF Trainer defaults (lr 2e-5,
+    grad clipping 1.0, linear decay — `run_scripts/padt_pro_3b_sft.sh:32`,
+    `utils.py:74`)."""
+    if total_steps and schedule == "linear":
+        lr = optax.linear_schedule(
+            init_value=learning_rate, end_value=0.0, transition_steps=total_steps
+        )
+        if warmup_steps:
+            lr = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                    optax.linear_schedule(learning_rate, 0.0, max(total_steps - warmup_steps, 1)),
+                ],
+                [warmup_steps],
+            )
+    elif total_steps and schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps
+        )
+    else:
+        lr = learning_rate
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
+    )
+
+
+def make_train_step(
+    cfg: PaDTConfig,
+    optimizer: optax.GradientTransformation,
+    prompt_length: int,
+    canvas_hw: Tuple[int, int],
+    lcfg: LossConfig = LossConfig(),
+    freeze_vision: bool = False,
+    data_axes: Tuple[str, ...] = (),
+):
+    """Returns step(params, opt_state, batch, warmup) -> (params, opt_state, metrics).
+
+    `data_axes`: mesh axes the batch is sharded over — metrics/grads are
+    averaged by jit/pjit automatically (SPMD); nothing extra needed here.
+    `freeze_vision` mirrors `--freeze_vision_modules`
+    (padt_sft_trainer.py:166-170) by zeroing vision-tower grads.
+    """
+
+    def step(params, opt_state, batch, warmup):
+        (loss, metrics), grads = jax.value_and_grad(padt_loss, has_aux=True)(
+            params, cfg, batch, prompt_length, canvas_hw, lcfg, warmup
+        )
+        if freeze_vision:
+            grads = {**grads, "vision": jax.tree.map(jnp.zeros_like, grads["vision"])}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics, grad_norm=gnorm)
+        return params, opt_state, metrics
+
+    return step

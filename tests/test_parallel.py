@@ -1,0 +1,30 @@
+"""Multi-device sharding tests: run the graft dryrun on a virtual 8-device CPU
+mesh in a subprocess (the in-process backend may already be the TPU)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.parametrize("n", [8])
+def test_dryrun_multichip(n):
+    env = dict(
+        os.environ,
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+    )
+    code = (
+        "import __graft_entry__ as g; g.dryrun_multichip(%d)" % n
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "dryrun_multichip OK" in r.stdout
