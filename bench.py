@@ -83,18 +83,25 @@ def main():
     def run(n_new):
         f = jax.jit(lambda p, b, d: P.generate(p, cfg, b, n_new, d), static_argnums=())
         out = f(params, batch, deltas)
-        jax.block_until_ready(out.tokens)  # compile + warm
+        _ = np.asarray(out.tokens)  # compile + warm (host readback = real sync;
+        # block_until_ready does not synchronize on the axon tunnel backend)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             out = f(params, batch, deltas)
-            jax.block_until_ready(out.tokens)
+            _ = np.asarray(out.tokens)
             times.append(time.perf_counter() - t0)
         return min(times)
 
     t_short = run(n_short)
     t_long = run(n_long)
-    decode_tps = batch_size * (n_long - n_short) / max(t_long - t_short, 1e-9)
+    diff = t_long - t_short
+    if diff < 0.02 * t_long or diff <= 0:
+        # timing resolution too coarse for the slope method (tiny smoke runs):
+        # fall back to amortized whole-generation throughput
+        decode_tps = batch_size * n_long / max(t_long, 1e-9)
+    else:
+        decode_tps = batch_size * (n_long - n_short) / diff
     per_seq = decode_tps / batch_size
     # queries/sec/chip at the reference decode budget-ish completion (~25 tokens REC)
     qps = decode_tps / 25.0

@@ -21,12 +21,46 @@ no NaNs (the varlen kernels in the reference simply never see padding).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+
+def use_pallas() -> bool:
+    """Dispatch policy: Pallas flash kernels on TPU unless PADT_PALLAS=0
+    (PADT_PALLAS=1 forces them on, e.g. interpret-mode tests)."""
+    mode = os.environ.get("PADT_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _pad_seq(x: jnp.ndarray, target: int, axis: int = 1) -> jnp.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+def _flash_segment(q, k, v, q_seg, k_seg, causal: bool):
+    """Pad sequence dims to 128 multiples and run the Pallas flash kernel."""
+    from .pallas_attention import flash_attention
+
+    s_q, s_k = q.shape[1], k.shape[1]
+    sq_p = -(-s_q // 128) * 128
+    sk_p = -(-s_k // 128) * 128
+    qp = _pad_seq(q, sq_p)
+    kp = _pad_seq(k, sk_p)
+    vp = _pad_seq(v, sk_p)
+    qsp = _pad_seq(q_seg, sq_p).at[:, s_q:].set(-1) if sq_p != s_q else q_seg
+    ksp = _pad_seq(k_seg, sk_p).at[:, s_k:].set(-2) if sk_p != s_k else k_seg
+    out = flash_attention(qp, kp, vp, qsp, ksp, causal)
+    return out[:, :s_q]
 
 
 def _sdpa(q, k, v, mask, scale):
@@ -55,6 +89,8 @@ def segment_attention(
     seg: jnp.ndarray,  # (B, S) int32; tokens attend within equal ids; -1 = pad
 ) -> jnp.ndarray:
     """Block-diagonal attention over segments (vision windows / whole image)."""
+    if use_pallas():
+        return _flash_segment(q, k, v, seg, seg, causal=False)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     mask = (seg[:, None, :, None] == seg[:, None, None, :]) & (seg[:, None, None, :] >= 0)
     qt = q.transpose(0, 2, 1, 3)
@@ -71,6 +107,9 @@ def causal_attention(
     valid: jnp.ndarray,  # (B, L) bool — attention mask (left padding)
 ) -> jnp.ndarray:
     """Causal self-attention for the LLM prefill (no cache history)."""
+    if use_pallas():
+        seg = jnp.where(valid, 0, -1).astype(jnp.int32)
+        return _flash_segment(q, k, v, seg, seg, causal=True)
     b, l, h, d = q.shape
     n_rep = h // k.shape[2]
     scale = 1.0 / (d**0.5)
@@ -92,19 +131,22 @@ def decode_attention(
     v_cache: jnp.ndarray,
     valid: jnp.ndarray,  # (B, C) bool — which cache slots are live
 ) -> jnp.ndarray:
-    """Single-step attention over the static KV cache."""
+    """Single-step attention over the static KV cache.
+
+    Grouped-query einsum formulation: no materialized repeat_kv expansion —
+    at batch 32 / 3B shapes the repeat would copy ~6.6 GB per decode step."""
     b, _, h, d = q.shape
-    n_rep = h // k_cache.shape[2]
+    hkv = k_cache.shape[2]
+    n_rep = h // hkv
     scale = 1.0 / (d**0.5)
-    mask = valid[:, None, None, :]
-    out = _sdpa(
-        q.transpose(0, 2, 1, 3),
-        repeat_kv(k_cache.transpose(0, 2, 1, 3), n_rep),
-        repeat_kv(v_cache.transpose(0, 2, 1, 3), n_rep),
-        mask,
-        scale,
-    )
-    return out.transpose(0, 2, 1, 3)
+    qg = q.reshape(b, hkv, n_rep, d)  # (B, Hkv, G, D) — single query step
+    scores = jnp.einsum(
+        "bkgd,bckd->bkgc", qg, k_cache, preferred_element_type=jnp.float32
+    ) * scale  # (B, Hkv, G, C)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgc,bckd->bkgd", probs.astype(v_cache.dtype), v_cache)
+    return out.reshape(b, 1, h, d)
 
 
 def masked_cross_attention(

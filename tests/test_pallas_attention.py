@@ -1,0 +1,124 @@
+"""Pallas flash attention vs the XLA reference path.
+
+Runs on the real TPU when available; falls back to Pallas interpret mode on
+CPU (small shapes only — the interpreter is slow)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from padt_tpu.ops import attention as A
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _mk(b, s, h, d, hkv=None, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    hkv = hkv or h
+    q = jnp.asarray(rng.randn(b, s, h, d), dtype) * 0.3
+    k = jnp.asarray(rng.randn(b, s, hkv, d), dtype) * 0.3
+    v = jnp.asarray(rng.randn(b, s, hkv, d), dtype) * 0.3
+    return q, k, v
+
+
+def _flash(q, k, v, q_seg, k_seg, causal):
+    from padt_tpu.ops.pallas_attention import flash_attention
+
+    if ON_TPU:
+        return flash_attention(q, k, v, q_seg, k_seg, causal)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        return flash_attention(q, k, v, q_seg, k_seg, causal)
+
+
+@pytest.mark.parametrize("d", [128, 80] if ON_TPU else [128])
+def test_segment_flash_matches_xla(d):
+    b, s, h = 2, 256, 4
+    q, k, v = _mk(b, s, h, d)
+    rng = np.random.RandomState(1)
+    seg = np.sort(rng.randint(0, 5, size=(b, s)), axis=1).astype(np.int32)
+    seg[:, -17:] = -1  # padding tail
+    seg = jnp.asarray(seg)
+    ref = A.segment_attention.__wrapped__(q, k, v, seg) if hasattr(A.segment_attention, "__wrapped__") else None
+    # XLA reference path directly
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = A.segment_attention(q, k, v, seg)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    out = _flash(q, k, v, seg, seg, False)
+    valid = np.asarray(seg) >= 0
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], rtol=2e-3, atol=2e-3
+    )
+
+
+def test_causal_flash_matches_xla():
+    b, s, h, hkv, d = 2, 256, 4, 2, 128
+    q, k, v = _mk(b, s, h, d, hkv=hkv)
+    valid = np.ones((b, s), bool)
+    valid[0, :37] = False  # left padding
+    validj = jnp.asarray(valid)
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = A.causal_attention(q, k, v, validj)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    seg = jnp.where(validj, 0, -1).astype(jnp.int32)
+    out = _flash(q, k, v, seg, seg, True)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], rtol=2e-3, atol=2e-3
+    )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="interpret-mode grads too slow on CPU")
+def test_flash_gradients_match_xla():
+    b, s, h, d = 2, 256, 4, 128
+    q, k, v = _mk(b, s, h, d)
+    seg_np = np.zeros((b, s), np.int32)
+    seg_np[:, -30:] = -1
+    seg = jnp.asarray(seg_np)
+
+    def loss_flash(q, k, v):
+        from padt_tpu.ops.pallas_attention import flash_attention
+
+        o = flash_attention(q, k, v, seg, seg, True)
+        return (o * o).sum()
+
+    def loss_xla(q, k, v):
+        os.environ["PADT_PALLAS"] = "0"
+        try:
+            o = A.causal_attention(q, k, v, seg >= 0)
+        finally:
+            os.environ["PADT_PALLAS"] = "auto"
+        mask = (seg >= 0)[:, :, None, None]
+        return ((o * o) * mask).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU")
+def test_padded_dispatch_non_multiple():
+    """segment_attention wrapper pads non-128-multiple sequence lengths."""
+    b, s, h, d = 2, 200, 4, 80
+    q, k, v = _mk(b, s, h, d)
+    seg = jnp.asarray(np.zeros((b, s), np.int32))
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        out = A.segment_attention(q, k, v, seg)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = A.segment_attention(q, k, v, seg)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
