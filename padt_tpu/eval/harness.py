@@ -1,0 +1,240 @@
+"""Batched inference harness: image+prompt -> completions, boxes, scores, masks.
+
+Rebuilds `eval/evaluation_scripts/utils.py:176-266` (`infer_dataset`) TPU-first:
+  - static bucketed batches, one jitted generate per bucket (compile cache),
+  - host-side parse -> one packed vl_decode per batch,
+  - per-host dataset sharding by `jax.process_index()` (replaces the torchrun
+    rank-strided sharding, `utils.py:181-182`),
+  - output JSONL schema identical to the reference (`utils.py:249-266`):
+      {image_id, score, category, bbox (x,y,w,h px), mask RLE}
+    so the reference scorers could consume our files unchanged.
+
+No ZeRO-3 unwrap/gather dance: params live sharded on the mesh and generation
+runs SPMD (reference needed `unwrap_model_for_generation`, `utils.py:131-173`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PaDTConfig
+from ..models import padt as padt_model
+from ..vrt.parser import gather_vrt_feats, pack_objects, parse_vrt_completions
+from ..vrt.processor import VisionTextProcessor
+from . import rle as rle_codec
+
+
+@dataclass
+class ObjectResult:
+    label: str
+    score: float
+    bbox_xywh_px: Tuple[float, float, float, float]
+    mask_rle: Optional[Dict]
+    vrt_string: str
+
+
+@dataclass
+class SampleResult:
+    completion: str
+    objects: List[ObjectResult]
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        params,
+        cfg: PaDTConfig,
+        processor: VisionTextProcessor,
+        max_new_tokens: int = 1024,
+        canvas_hw: Optional[Tuple[int, int]] = None,
+        compute_mask: bool = True,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.processor = processor
+        self.max_new_tokens = max_new_tokens
+        side = int(cfg.max_image_patches**0.5) + 1
+        self.canvas_hw = canvas_hw or (side, side)
+        self.compute_mask = compute_mask
+        self._gen_cache: Dict[Tuple, Any] = {}
+        self._dec_cache = None
+
+    def _generate_fn(self, key):
+        if key not in self._gen_cache:
+            cfg, n_new = self.cfg, self.max_new_tokens
+
+            @jax.jit
+            def f(params, batch, deltas):
+                return padt_model.generate(params, cfg, batch, n_new, deltas)
+
+            self._gen_cache[key] = f
+        return self._gen_cache[key]
+
+    def _decode_fn(self):
+        if self._dec_cache is None:
+            cfg, canvas, cm = self.cfg, self.canvas_hw, self.compute_mask
+
+            @jax.jit
+            def f(params, feats, counts, valid, sample, art):
+                return padt_model.vl_decode(
+                    params, cfg, feats, counts, valid, sample, art,
+                    canvas_hw=canvas, compute_mask=cm,
+                )
+
+            self._dec_cache = f
+        return self._dec_cache
+
+    def run_batch(
+        self,
+        prompts: List[str],
+        images: List[Any],
+        image_sizes: Optional[List[Tuple[int, int]]] = None,  # (W, H) px of model input
+        patch_bucket: Optional[int] = None,
+        prompt_bucket: Optional[int] = None,
+    ) -> List[SampleResult]:
+        cfg = self.cfg
+        proc = self.processor
+        from ..preprocess.vision_process import ProcessedImage
+
+        if image_sizes is None:
+            image_sizes = []
+            for img in images:
+                if isinstance(img, ProcessedImage):
+                    _, h, w = img.grid_thw
+                    image_sizes.append((w * cfg.vision.patch_size, h * cfg.vision.patch_size))
+                else:
+                    image_sizes.append(img.size)
+
+        batch = proc.build_batch(
+            prompts, images, patch_bucket=patch_bucket or cfg.max_image_patches,
+            prompt_bucket=prompt_bucket,
+        )
+        jbatch = {k: jnp.asarray(v) for k, v in batch.data.items()}
+        key = (batch.data["input_ids"].shape, batch.data["pixel_patches"].shape)
+        out = self._generate_fn(key)(self.params, jbatch, jnp.asarray(batch.rope_deltas))
+
+        tokens = np.asarray(out.tokens)
+        b = tokens.shape[0]
+        token_strs = [proc.token_strings(tokens[i]) for i in range(b)]
+        parsed = parse_vrt_completions(token_strs, tokens, cfg.text.vocab_size)
+
+        objects = parsed.all_objects
+        results = [SampleResult(completion=_clean(parsed.completions[i]), objects=[]) for i in range(b)]
+        if not objects:
+            return results
+
+        n_max = max(cfg.max_objects, len(objects))
+        obj_sample, gather_pos, counts, valid = pack_objects(objects, n_max, cfg.max_vrt_per_object)
+        feats = gather_vrt_feats(out.hidden, jnp.asarray(obj_sample), jnp.asarray(gather_pos))
+        dec = self._decode_fn()(
+            self.params, feats, jnp.asarray(counts), jnp.asarray(valid),
+            jnp.asarray(obj_sample), out.artifacts,
+        )
+        boxes = np.asarray(dec.pred_boxes, np.float64)
+        scores = 1.0 / (1.0 + np.exp(-np.asarray(dec.pred_score, np.float64)[:, 0]))
+        masks = np.asarray(dec.pred_mask) if self.compute_mask else None
+        mask_hw = np.asarray(dec.mask_hw)
+
+        for oi, obj in enumerate(objects):
+            w_px, h_px = image_sizes[obj.sample]
+            cx, cy, bw, bh = boxes[oi]
+            # cxcywh [0,1] -> clamped xywh px (utils.py:258-260)
+            ex = (max(cx - bw / 2, 0.0), max(cy - bh / 2, 0.0), min(bw, 1.0), min(bh, 1.0))
+            bbox = (
+                round(ex[0] * w_px),
+                round(ex[1] * h_px),
+                round(ex[2] * w_px),
+                round(ex[3] * h_px),
+            )
+            mask_rle = None
+            if masks is not None:
+                gh, gw = int(mask_hw[oi, 0]), int(mask_hw[oi, 1])
+                logit = masks[oi, : gh * 4, : gw * 4].astype(np.float32)
+                import cv2
+
+                up = cv2.resize(logit, (int(w_px), int(h_px)), interpolation=cv2.INTER_LINEAR)
+                mask_rle = rle_codec.encode((up > 0).astype(np.uint8))  # sigmoid(x)>.5 == x>0
+            results[obj.sample].objects.append(
+                ObjectResult(
+                    label=obj.label,
+                    score=float(scores[oi]),
+                    bbox_xywh_px=bbox,
+                    mask_rle=mask_rle,
+                    vrt_string=obj.vrt_string,
+                )
+            )
+        return results
+
+
+def _clean(s: str) -> str:
+    return s.replace("<|endoftext|>", "").replace("<|im_end|>", "")
+
+
+def infer_dataset(
+    engine: InferenceEngine,
+    dataset: Sequence[Dict],  # rows: {id, image_path, problem}
+    output_dir: str,
+    batch_size: int = 16,
+    datasetname: str = "coco",
+    suffix: str = "",
+    max_side: Optional[int] = 644,
+    log_every: int = 1,
+) -> Tuple[str, str]:
+    """Shard over hosts, write per-host JSONL result + completion files
+    (reference file naming, `utils.py:184-189`)."""
+    import PIL.Image
+
+    from ..preprocess.vision_process import ensure_min_28, resize_max_side
+
+    rank = jax.process_index()
+    world = jax.process_count()
+    res_path = os.path.join(output_dir, f"{datasetname}_{rank}_pred_results_{suffix}.json")
+    comp_path = os.path.join(output_dir, f"{datasetname}_{rank}_pred_comp_{suffix}.json")
+    os.makedirs(output_dir, exist_ok=True)
+    open(res_path, "w").close()
+    open(comp_path, "w").close()
+
+    n = len(dataset)
+    per = math.ceil(n / (world * batch_size)) * batch_size
+    my_idx = range(rank * per, min((rank + 1) * per, n), batch_size)
+
+    for start in my_idx:
+        rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
+        if not rows:
+            continue
+        if rank == 0 and (start // batch_size) % log_every == 0:
+            print(f"Processing {start}... | Total: {n}")
+        prompts = [r["problem"] for r in rows]
+        images = []
+        for r in rows:
+            img = PIL.Image.open(r["image_path"][0] if isinstance(r["image_path"], list) else r["image_path"])
+            img = ensure_min_28(img)
+            if max_side and max(img.size) > max_side:
+                img = resize_max_side(img, max_side)
+            images.append(img)
+        results = engine.run_batch(prompts, images)
+        with open(comp_path, "a") as f:
+            for r, res in zip(rows, results):
+                f.write(json.dumps({"image_id": r["id"], "completion": res.completion}) + "\n")
+        with open(res_path, "a") as f:
+            for r, res in zip(rows, results):
+                for o in res.objects:
+                    row = {
+                        "image_id": r["id"],
+                        "score": o.score,
+                        "category": o.label,
+                        "bbox": list(o.bbox_xywh_px),
+                    }
+                    if o.mask_rle is not None:
+                        row["mask"] = {"size": o.mask_rle["size"], "counts": o.mask_rle["counts"]}
+                    f.write(json.dumps(row) + "\n")
+    return res_path, comp_path
