@@ -1,0 +1,250 @@
+"""SFT trainer: sampler, train loop, checkpointing, metrics.
+
+Rebuilds the orchestration layer of `PaDTSFTTrainer` (reference
+`padt_sft_trainer.py:102-246,542-577` + HF Trainer internals it inherits):
+  - `RepeatRandomSampler` index schedule (seeded randperm chunked into
+    effective-batch groups, interleaved across grad-accum steps,
+    `padt_sft_trainer.py:48-99`),
+  - warm-up rule: prototype substitution while `epoch < num_epochs/4 AND
+    global_step < 300` (`padt_sft_trainer.py:485-487`),
+  - checkpoint every `save_steps` + auto-resume from the latest step
+    (`sft_train.py:106-109`; orbax replaces the DeepSpeed checkpoint engine,
+    SURVEY.md §5) with the PaDTConfig embedded in checkpoint metadata
+    ("model carries its decoder config"),
+  - metric averaging & logging (gather_for_metrics is implicit: the loss
+    metrics are global SPMD values under pjit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PaDTConfig
+from ..models import padt as padt_model
+from ..parallel.mesh import batch_shardings, make_mesh, param_shardings, shard_params
+from ..vrt.processor import VisionTextProcessor
+from .data import build_train_batch
+from .train_step import LossConfig, make_optimizer, make_train_step
+
+
+def repeat_random_sampler(
+    num_samples: int,
+    batch_size: int,
+    seed: Optional[int] = None,
+    mini_repeat_count: int = 1,
+    repeat_count: int = 1,
+    gradient_accumulation_steps: int = 1,
+) -> Iterator[int]:
+    """Reference RepeatRandomSampler semantics (padt_sft_trainer.py:87-96)."""
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(num_samples).tolist()
+    chunks = [
+        perm[i : i + batch_size]
+        for i in range(0, len(perm) // batch_size * batch_size, batch_size)
+    ]
+    for chunk in chunks:
+        for _ in range(repeat_count):
+            for acc in range(gradient_accumulation_steps):
+                sub = chunk[acc::gradient_accumulation_steps]
+                for idx in sub:
+                    for _ in range(mini_repeat_count):
+                        yield idx
+
+
+@dataclass
+class TrainArgs:
+    """PaDTSFTConfig subset (reference `padt_sft_config.py:21-76` defaults)."""
+
+    learning_rate: float = 2e-5
+    per_device_train_batch_size: int = 16
+    gradient_accumulation_steps: int = 1
+    num_train_epochs: float = 1.0
+    max_grad_norm: float = 1.0
+    weight_decay: float = 0.0
+    warmup_steps: int = 0
+    seed: int = 42
+    save_steps: int = 100
+    logging_steps: int = 1
+    output_dir: str = "outputs/padt_sft"
+    use_mask_loss: bool = False
+    use_bbox_loss: bool = True
+    use_score_loss: bool = True
+    use_sft_vp_mask: bool = True
+    use_warm_up: bool = True
+    warm_up_max_steps: int = 300
+    random_select_patch: bool = False
+    random_select_patch_num: int = 5
+    freeze_vision_modules: bool = False
+    # static shape buckets
+    prompt_bucket: Optional[int] = None
+    completion_bucket: Optional[int] = None
+    patch_bucket: Optional[int] = None
+    canvas_hw: Optional[Tuple[int, int]] = None
+    # mesh
+    mesh_data: int = 1
+    mesh_fsdp: int = 1
+    mesh_tensor: int = 1
+
+
+class PaDTTrainer:
+    def __init__(
+        self,
+        cfg: PaDTConfig,
+        params,
+        processor: VisionTextProcessor,
+        args: TrainArgs,
+        dataset: Sequence[Dict],
+        images: Optional[Sequence[Any]] = None,  # optional preloaded images by index
+    ):
+        self.cfg = cfg
+        self.args = args
+        self.processor = processor
+        self.dataset = dataset
+        self.images = images
+        self.mesh = make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_tensor)
+        self.params = shard_params(params, self.mesh)
+        n_batches_per_epoch = len(dataset) // (args.per_device_train_batch_size * args.gradient_accumulation_steps)
+        self.total_steps = max(int(n_batches_per_epoch * args.num_train_epochs), 1)
+        self.optimizer = make_optimizer(
+            learning_rate=args.learning_rate,
+            weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm,
+            warmup_steps=args.warmup_steps,
+            total_steps=self.total_steps,
+        )
+        with self.mesh:
+            self.opt_state = jax.jit(
+                self.optimizer.init, in_shardings=(param_shardings(params, self.mesh),)
+            )(self.params)
+        self.global_step = 0
+        self._step_fn_cache: Dict[Tuple, Any] = {}
+        self.metrics_log: List[Dict] = []
+        os.makedirs(args.output_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def _lcfg(self) -> LossConfig:
+        a = self.args
+        return LossConfig(
+            use_bbox_loss=a.use_bbox_loss,
+            use_score_loss=a.use_score_loss,
+            use_mask_loss=a.use_mask_loss,
+            use_sft_vp_mask=a.use_sft_vp_mask,
+            use_warm_up=a.use_warm_up,
+        )
+
+    def _step_fn(self, prompt_length: int, canvas_hw: Tuple[int, int]):
+        key = (prompt_length, canvas_hw)
+        if key not in self._step_fn_cache:
+            step = make_train_step(
+                self.cfg,
+                self.optimizer,
+                prompt_length=prompt_length,
+                canvas_hw=canvas_hw,
+                lcfg=self._lcfg(),
+                freeze_vision=self.args.freeze_vision_modules,
+            )
+            self._step_fn_cache[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._step_fn_cache[key]
+
+    # ------------------------------------------------------------------
+    def train(self, resume: bool = False):
+        a = self.args
+        if resume:
+            self.load_latest_checkpoint()
+        rng = np.random.RandomState(a.seed)
+        bs = a.per_device_train_batch_size * a.gradient_accumulation_steps
+        epoch_len = len(self.dataset) // bs
+
+        start_epoch = self.global_step // max(epoch_len, 1)
+        for epoch in range(start_epoch, int(np.ceil(a.num_train_epochs))):
+            sampler = repeat_random_sampler(
+                len(self.dataset), bs, seed=a.seed + epoch,
+                gradient_accumulation_steps=a.gradient_accumulation_steps,
+            )
+            idxs = list(sampler)
+            micro = a.per_device_train_batch_size
+            for bi in range(0, len(idxs) // micro * micro, micro):
+                if self.global_step >= self.total_steps:
+                    break
+                batch_idx = idxs[bi : bi + micro]
+                samples = [self.dataset[i] for i in batch_idx]
+                imgs = [self.images[i] for i in batch_idx] if self.images is not None else None
+                tb = build_train_batch(
+                    samples, self.processor, self.cfg, rng,
+                    images=imgs,
+                    random_select_patch=a.random_select_patch,
+                    random_select_patch_num=a.random_select_patch_num,
+                    prompt_bucket=a.prompt_bucket,
+                    completion_bucket=a.completion_bucket,
+                    patch_bucket=a.patch_bucket,
+                    canvas_hw=a.canvas_hw,
+                    use_mask_targets=a.use_mask_loss,
+                )
+                epoch_frac = self.global_step / max(epoch_len, 1)
+                warmup = (
+                    a.use_warm_up
+                    and epoch_frac < a.num_train_epochs / 4
+                    and self.global_step < a.warm_up_max_steps
+                )
+                with self.mesh:
+                    b_sh = batch_shardings(tb.model, self.mesh)
+                    batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
+                    step = self._step_fn(tb.prompt_length, tb.meta["canvas_hw"])
+                    t0 = time.perf_counter()
+                    self.params, self.opt_state, metrics = step(
+                        self.params, self.opt_state, batch_dev, jnp.asarray(bool(warmup))
+                    )
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["step_time_s"] = time.perf_counter() - t0
+                self.global_step += 1
+                metrics.update(step=self.global_step, epoch=round(epoch_frac, 4), warmup=bool(warmup))
+                self.metrics_log.append(metrics)
+                if self.global_step % a.logging_steps == 0 and jax.process_index() == 0:
+                    print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in metrics.items()}))
+                if self.global_step % a.save_steps == 0:
+                    self.save_checkpoint()
+        self.save_checkpoint()
+        return self.metrics_log
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: Optional[str] = None):
+        import orbax.checkpoint as ocp
+
+        path = path or os.path.join(os.path.abspath(self.args.output_dir), f"checkpoint-{self.global_step}")
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(os.path.join(path, "state"), {"params": self.params, "opt_state": self.opt_state}, force=True)
+        ckpt.wait_until_finished()
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                f.write(json.dumps({"step": self.global_step, "config": json.loads(self.cfg.to_json())}))
+
+    def load_latest_checkpoint(self) -> bool:
+        out = os.path.abspath(self.args.output_dir)
+        if not os.path.isdir(out):
+            return False
+        cands = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
+        if not cands:
+            return False
+        latest = max(cands, key=lambda d: int(d.split("-")[1]))
+        self.load_checkpoint(os.path.join(out, latest))
+        return True
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        target = {"params": self.params, "opt_state": self.opt_state}
+        restored = ckpt.restore(os.path.join(os.path.abspath(path), "state"), target=target)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        with open(os.path.join(path, "meta.json")) as f:
+            self.global_step = json.load(f)["step"]
