@@ -64,7 +64,7 @@ def main():
     pos, deltas = get_rope_index(ids, am, np.array(grids), cfg.image_token_id)
 
     batch = dict(
-        pixel_patches=jnp.asarray(pix),
+        pixel_patches=jnp.asarray(pix, dtype),
         window_index=jnp.asarray(geom.window_index),
         inv_window_index=jnp.asarray(geom.inv_window_index),
         seg_win=jnp.asarray(geom.seg_win),

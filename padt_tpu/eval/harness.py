@@ -118,7 +118,7 @@ class InferenceEngine:
             prompts, images, patch_bucket=patch_bucket or cfg.max_image_patches,
             prompt_bucket=prompt_bucket,
         )
-        jbatch = {k: jnp.asarray(v) for k, v in batch.data.items()}
+        jbatch = {k: jnp.asarray(v, jnp.bfloat16) if k == "pixel_patches" else jnp.asarray(v) for k, v in batch.data.items()}
         key = (batch.data["input_ids"].shape, batch.data["pixel_patches"].shape)
         out = self._generate_fn(key)(self.params, jbatch, jnp.asarray(batch.rope_deltas))
 

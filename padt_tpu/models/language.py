@@ -128,13 +128,30 @@ def prefill(
     valid: jnp.ndarray,  # (B, L) bool
     capacity: int,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Causal forward + cache seeded into slots [0, L)."""
+    """Causal forward + cache seeded into slots [0, L).
+
+    K/V are padded to capacity INSIDE the layer scan so only one per-layer
+    transient exists (padding the stacked (layers, B, L, ...) output after the
+    fact would briefly hold prefill-size + capacity-size copies — ~2.4 GB extra
+    at 3B/batch-48 shapes)."""
     b, l, _ = inputs_embeds.shape
-    hidden, (k_all, v_all) = text_forward(params, cfg, inputs_embeds, position_ids, valid)
-    pad = [(0, 0), (0, 0), (0, capacity - l), (0, 0), (0, 0)]
+    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    pad = [(0, 0), (0, capacity - l), (0, 0), (0, 0)]
+
+    def body(x, lp):
+        xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
+        q, k, v = _qkv(xn, lp, cfg, cos, sin)
+        attn = causal_attention(q, k, v, valid)
+        x = x + attn.reshape(*x.shape[:2], -1) @ lp["o_w"]
+        xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
+        x = x + _mlp(xn, lp)
+        return x, (jnp.pad(k, pad), jnp.pad(v, pad))
+
+    x, (k_all, v_all) = jax.lax.scan(body, inputs_embeds, params["layers"])
+    hidden = rms_norm(x, params["final_ln_w"], cfg.rms_norm_eps)
     cache = KVCache(
-        k=jnp.pad(k_all, pad),
-        v=jnp.pad(v_all, pad),
+        k=k_all,
+        v=v_all,
         valid=jnp.pad(valid, [(0, 0), (0, capacity - l)]),
         length=jnp.asarray(l, jnp.int32),
     )

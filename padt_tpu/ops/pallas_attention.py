@@ -131,12 +131,13 @@ def flash_attention(q, k, v, q_seg, k_seg, causal: bool = False, scale: Optional
 
 
 def _prep(q, k, v):
+    """(B, S, H, D) -> (B, H, S, D). No head-dim padding: a Pallas block whose
+    last dim equals the full array dim is legal, and padding 80->128 costs +60%
+    memory on the vision tower's q/k/v."""
     b, s_q, h, d = q.shape
-    dp = max(_round_up(d, 128), 128)
-    pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
-    qt = jnp.pad(q, pad).transpose(0, 2, 1, 3)
-    kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
-    vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
     return qt, kt, vt, d
 
 
