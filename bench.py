@@ -29,7 +29,7 @@ def _config():
     if os.environ.get("PADT_BENCH_SMALL", "0") == "1":
         return padt_tiny().replace(max_image_patches=256), 2, 8, 16, (1, 8, 12)
     cfg = padt_3b().replace(max_image_patches=2304)
-    batch = int(os.environ.get("PADT_BENCH_BATCH", "8"))
+    batch = int(os.environ.get("PADT_BENCH_BATCH", "32"))
     return cfg, batch, 16, 80, (1, 46, 46)  # grid = 644px image
 
 
