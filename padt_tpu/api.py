@@ -53,7 +53,19 @@ def load_model(
     from .convert.hf_to_padt import load_padt_checkpoint
 
     dtype = dtype if dtype is not None else jnp.bfloat16
-    cfg, params = load_padt_checkpoint(model_path, dtype=dtype, **config_overrides)
+    if os.path.exists(os.path.join(model_path, "padt_config.json")):
+        # native (orbax) format written by scripts/convert_checkpoint.py
+        import orbax.checkpoint as ocp
+
+        with open(os.path.join(model_path, "padt_config.json")) as f:
+            cfg = PaDTConfig.from_json(f.read())
+        if config_overrides:
+            cfg = cfg.replace(**config_overrides)
+        params = ocp.StandardCheckpointer().restore(
+            os.path.join(os.path.abspath(model_path), "params")
+        )
+    else:
+        cfg, params = load_padt_checkpoint(model_path, dtype=dtype, **config_overrides)
     if use_mask_head is not None:
         cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, use_mask_head=use_mask_head))
 

@@ -217,6 +217,8 @@ def generate(
     rope_deltas: jnp.ndarray,  # (B,) from mrope_index.get_rope_index
     do_sample: bool = False,
     temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     rng: Optional[jax.Array] = None,
     eos_token_id: Optional[int] = None,
 ) -> GenerateOutput:
@@ -247,9 +249,21 @@ def generate(
 
     def select_token(h, key):
         logits = extended_logits(params, cfg, h, art.proto, art.num_merged)[:, 0]  # (B, Vext)
-        if do_sample:
-            return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if not do_sample:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = logits / temperature
+        if top_k is not None and top_k > 0:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, NEG_INF, logits)
+        if top_p is not None and top_p < 1.0:
+            # nucleus: drop tokens outside the smallest set with cum prob >= top_p
+            sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = cum - probs < top_p  # always keep the argmax
+            threshold = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+            logits = jnp.where(logits < threshold, NEG_INF, logits)
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
     def cond(carry):
         step, finished, *_ = carry

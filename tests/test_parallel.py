@@ -28,3 +28,18 @@ def test_dryrun_multichip(n):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "dryrun_multichip OK" in r.stdout
+
+
+def test_sharded_generate_matches_single_device():
+    env = dict(
+        os.environ,
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tests", "multichip_check.py"), "check_sharded_generate"],
+        env=env, cwd=root, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "sharded_generate OK" in r.stdout

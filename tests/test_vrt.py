@@ -152,3 +152,28 @@ def test_end_to_end_tiny_demo(processor, cfg):
     assert dec.pred_boxes.shape == (cfg.max_objects, 4)
     assert bool(jnp.isfinite(dec.pred_boxes).all())
     assert dec.pred_mask.shape == (cfg.max_objects, 32, 48)
+
+
+def test_sampling_modes(processor, cfg):
+    """do_sample with temperature/top_k/top_p produces valid tokens and
+    respects top_k=1 == greedy."""
+    import jax
+    import jax.numpy as jnp
+    from padt_tpu.models import padt as P
+
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    imgs = [_fake_image((1, 8, 12))]
+    batch = processor.build_batch(["x"], imgs)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.data.items()}
+    d = jnp.asarray(batch.rope_deltas)
+    greedy = P.generate(params, cfg, jbatch, 6, d)
+    topk1 = P.generate(
+        params, cfg, jbatch, 6, d, do_sample=True, top_k=1, rng=jax.random.PRNGKey(7)
+    )
+    np.testing.assert_array_equal(np.asarray(greedy.tokens), np.asarray(topk1.tokens))
+    samp = P.generate(
+        params, cfg, jbatch, 6, d, do_sample=True, temperature=1.5, top_p=0.9,
+        rng=jax.random.PRNGKey(3),
+    )
+    toks = np.asarray(samp.tokens)
+    assert ((toks >= 0) & (toks < cfg.text.vocab_size + jbatch["pixel_patches"].shape[1] // 4)).all()
