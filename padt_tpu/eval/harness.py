@@ -80,6 +80,8 @@ class InferenceEngine:
         return self._gen_cache[key]
 
     def _decode_fn(self):
+        # one jitted decoder reused across batches; object count is BUCKETED to
+        # multiples of cfg.max_objects so varying counts don't recompile
         if self._dec_cache is None:
             cfg, canvas, cm = self.cfg, self.canvas_hw, self.compute_mask
 
@@ -132,7 +134,7 @@ class InferenceEngine:
         if not objects:
             return results
 
-        n_max = max(cfg.max_objects, len(objects))
+        n_max = -(-max(cfg.max_objects, len(objects)) // cfg.max_objects) * cfg.max_objects
         obj_sample, gather_pos, counts, valid = pack_objects(objects, n_max, cfg.max_vrt_per_object)
         feats = gather_vrt_feats(out.hidden, jnp.asarray(obj_sample), jnp.asarray(gather_pos))
         dec = self._decode_fn()(

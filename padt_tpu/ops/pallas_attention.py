@@ -37,10 +37,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fwd_kernel(q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, o_ref, *, blk_k: int, causal: bool, scale: float):
+def _fwd_kernel(
+    lo_ref, hi_ref, q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, o_ref,
+    *, blk_k: int, causal: bool, scale: float,
+):
+    """lo/hi (scalar-prefetch, (B, n_qb)): the k-block range whose segments can
+    intersect this q block. Windowed vision layers touch ~1-2 of ~18 blocks —
+    the skip is most of the kernel's win over dense XLA attention."""
     blk_q, d = q_ref.shape[2], q_ref.shape[3]
-    s_k = k_ref.shape[2]
     qi = pl.program_id(2)
+    bi = pl.program_id(0)
 
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (blk_q, D)
     qseg = q_seg_ref[0, 0].reshape(blk_q, 1)  # (blk_q, 1)
@@ -75,13 +81,9 @@ def _fwd_kernel(q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, o_ref, *, blk_k: int,
         )
         return m_new, l_new, acc_new
 
-    if causal:
-        # only key blocks at or before this query block participate
-        n_kb = (qi + 1) * blk_q // blk_k
-        n_kb = jnp.minimum(n_kb, s_k // blk_k)
-    else:
-        n_kb = s_k // blk_k
-    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
+    lo = lo_ref[bi, qi]
+    hi = hi_ref[bi, qi]
+    m, l, acc = jax.lax.fori_loop(lo, hi, body, (m0, l0, acc0))
     out = jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
@@ -101,25 +103,55 @@ def _flash_raw(
     hkv = k.shape[1]
     n_rep = h // hkv
     s_k = k.shape[2]
+    n_qb = s_q // blk_q
+    n_kb = s_k // blk_k
 
-    grid = (b, h, s_q // blk_q)
+    # per-block segment ranges -> contiguous k-block window per q block.
+    # Valid segments are non-decreasing along the sequence (window order /
+    # causal all-zeros) with -1 padding, so the intersecting set is contiguous.
+    def blk_minmax(seg, blk):
+        segb = seg.reshape(b, -1, blk)
+        valid = segb >= 0
+        big = jnp.int32(2**30)
+        bmin = jnp.min(jnp.where(valid, segb, big), axis=-1)  # (B, nb)
+        bmax = jnp.max(segb, axis=-1)  # (B, nb); all-invalid -> -1
+        return bmin, bmax
+
+    qmin, qmax = blk_minmax(q_seg, blk_q)
+    kmin, kmax = blk_minmax(k_seg, blk_k)
+    inter = (kmax[:, None, :] >= qmin[:, :, None]) & (kmin[:, :, None] <= qmax[:, None, :])
+    inter = inter & (kmax[:, None, :] >= 0) & (qmax[:, :, None] >= 0)
+    lo = jnp.argmax(inter, axis=-1).astype(jnp.int32)  # (B, n_qb)
+    hi = (n_kb - jnp.argmax(inter[:, :, ::-1], axis=-1)).astype(jnp.int32)
+    any_hit = inter.any(axis=-1)
+    lo = jnp.where(any_hit, lo, 0)
+    hi = jnp.where(any_hit, hi, 0)
+    if causal:
+        causal_hi = ((jnp.arange(n_qb, dtype=jnp.int32) + 1) * blk_q + blk_k - 1) // blk_k
+        hi = jnp.minimum(hi, jnp.minimum(causal_hi, n_kb)[None, :])
+
+    grid = (b, h, n_qb)
     kernel = functools.partial(_fwd_kernel, blk_k=blk_k, causal=causal, scale=scale)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi: (bi, 0, qi)),  # q_seg
-            pl.BlockSpec((1, 1, s_k), lambda bi, hi, qi: (bi, 0, 0)),  # k_seg
-            pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, s_k, d), lambda bi, hi, qi: (bi, hi // n_rep, 0, 0)),
-            pl.BlockSpec((1, 1, s_k, d), lambda bi, hi, qi: (bi, hi // n_rep, 0, 0)),
+            pl.BlockSpec((1, 1, blk_q), lambda bi, hi_, qi, *refs: (bi, 0, qi)),  # q_seg
+            pl.BlockSpec((1, 1, s_k), lambda bi, hi_, qi, *refs: (bi, 0, 0)),  # k_seg
+            pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi_, qi, *refs: (bi, hi_, qi, 0)),
+            pl.BlockSpec((1, 1, s_k, d), lambda bi, hi_, qi, *refs: (bi, hi_ // n_rep, 0, 0)),
+            pl.BlockSpec((1, 1, s_k, d), lambda bi, hi_, qi, *refs: (bi, hi_ // n_rep, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi_, qi, *refs: (bi, hi_, qi, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(q_seg[:, None, :], k_seg[:, None, :], q, k, v)
+    )(lo, hi, q_seg[:, None, :], k_seg[:, None, :], q, k, v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

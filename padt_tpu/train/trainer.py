@@ -129,6 +129,15 @@ class PaDTTrainer:
         self._step_fn_cache: Dict[Tuple, Any] = {}
         self.metrics_log: List[Dict] = []
         os.makedirs(args.output_dir, exist_ok=True)
+        self._metrics_file = os.path.join(args.output_dir, "metrics.jsonl")
+        self._wandb = None
+        if os.environ.get("WANDB_PROJECT") and jax.process_index() == 0:
+            try:  # wandb optional (reference --report_to wandb)
+                import wandb
+
+                self._wandb = wandb.init(project=os.environ["WANDB_PROJECT"], config=vars(args))
+            except Exception:
+                self._wandb = None
 
     # ------------------------------------------------------------------
     def _lcfg(self) -> LossConfig:
@@ -209,7 +218,12 @@ class PaDTTrainer:
                 metrics.update(step=self.global_step, epoch=round(epoch_frac, 4), warmup=bool(warmup))
                 self.metrics_log.append(metrics)
                 if self.global_step % a.logging_steps == 0 and jax.process_index() == 0:
-                    print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in metrics.items()}))
+                    line = json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in metrics.items()})
+                    print(line)
+                    with open(self._metrics_file, "a") as f:
+                        f.write(line + "\n")
+                    if self._wandb is not None:
+                        self._wandb.log(metrics, step=self.global_step)
                 if self.global_step % a.save_steps == 0:
                     self.save_checkpoint()
         self.save_checkpoint()
