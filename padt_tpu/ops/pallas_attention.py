@@ -96,9 +96,19 @@ def _flash_raw(
     k_seg: jnp.ndarray,  # (B, S_k) int32
     causal: bool,
     scale: float,
-    blk_q: int = 128,
-    blk_k: int = 128,
+    blk_q: Optional[int] = None,
+    blk_k: Optional[int] = None,
 ) -> jnp.ndarray:
+    def pick_block(s):
+        # largest tile dividing s: fewer grid programs -> less launch overhead
+        # (at 3B vision shapes, 128-blocks cost 41 ms/layer vs 18 ms at 768)
+        for c in (768, 640, 512, 384, 320, 256, 128):
+            if s % c == 0:
+                return c
+        return min(s, 128)
+
+    blk_q = blk_q or pick_block(q.shape[2])
+    blk_k = blk_k or pick_block(k.shape[2])
     b, h, s_q, d = q.shape
     hkv = k.shape[1]
     n_rep = h // hkv

@@ -178,3 +178,37 @@ def make_train_step(
         return params, opt_state, metrics
 
     return step
+
+
+def make_grad_and_apply_fns(
+    cfg: PaDTConfig,
+    optimizer: optax.GradientTransformation,
+    prompt_length: int,
+    canvas_hw: Tuple[int, int],
+    lcfg: LossConfig = LossConfig(),
+    freeze_vision: bool = False,
+):
+    """Gradient-accumulation variant: `grad_fn` computes (grads, metrics) per
+    micro batch; `apply_fn` averages accumulated grads and applies the
+    optimizer once (reference HF Trainer grad-accum semantics)."""
+
+    def grad_fn(params, batch, warmup):
+        (loss, metrics), grads = jax.value_and_grad(padt_loss, has_aux=True)(
+            params, cfg, batch, prompt_length, canvas_hw, lcfg, warmup
+        )
+        if freeze_vision:
+            grads = {**grads, "vision": jax.tree.map(jnp.zeros_like, grads["vision"])}
+        return grads, metrics
+
+    def accumulate(acc, grads):
+        if acc is None:
+            return grads
+        return jax.tree.map(jnp.add, acc, grads)
+
+    def apply_fn(params, opt_state, grads, num_micro):
+        grads = jax.tree.map(lambda g: g / num_micro, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, optax.global_norm(grads)
+
+    return grad_fn, accumulate, apply_fn

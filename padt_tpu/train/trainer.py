@@ -111,6 +111,9 @@ class PaDTTrainer:
         self.dataset = dataset
         self.images = images
         self.mesh = make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_tensor)
+        # NOTE: the trainer takes OWNERSHIP of `params` — train steps donate the
+        # buffers (in-place updates), and device_put below may alias rather than
+        # copy when the sharding already matches. Don't reuse the argument.
         self.params = shard_params(params, self.mesh)
         n_batches_per_epoch = len(dataset) // (args.per_device_train_batch_size * args.gradient_accumulation_steps)
         self.total_steps = max(int(n_batches_per_epoch * args.num_train_epochs), 1)
@@ -164,6 +167,22 @@ class PaDTTrainer:
             self._step_fn_cache[key] = jax.jit(step, donate_argnums=(0, 1))
         return self._step_fn_cache[key]
 
+    def _accum_fns(self, prompt_length: int, canvas_hw: Tuple[int, int]):
+        from .train_step import make_grad_and_apply_fns
+
+        key = ("accum", prompt_length, canvas_hw)
+        if key not in self._step_fn_cache:
+            grad_fn, accumulate, apply_fn = make_grad_and_apply_fns(
+                self.cfg, self.optimizer, prompt_length, canvas_hw,
+                lcfg=self._lcfg(), freeze_vision=self.args.freeze_vision_modules,
+            )
+            self._step_fn_cache[key] = (
+                jax.jit(grad_fn),
+                jax.jit(lambda a, g: jax.tree.map(jnp.add, a, g), donate_argnums=(0,)),
+                jax.jit(apply_fn, donate_argnums=(0, 1, 2), static_argnums=(3,)),
+            )
+        return self._step_fn_cache[key]
+
     # ------------------------------------------------------------------
     def train(self, resume: bool = False):
         a = self.args
@@ -181,39 +200,65 @@ class PaDTTrainer:
             )
             idxs = list(sampler)
             micro = a.per_device_train_batch_size
-            for bi in range(0, len(idxs) // micro * micro, micro):
+            ga = a.gradient_accumulation_steps
+            for bi in range(0, len(idxs) // (micro * ga) * (micro * ga), micro * ga):
                 if self.global_step >= self.total_steps:
                     break
-                batch_idx = idxs[bi : bi + micro]
-                samples = [self.dataset[i] for i in batch_idx]
-                imgs = [self.images[i] for i in batch_idx] if self.images is not None else None
-                tb = build_train_batch(
-                    samples, self.processor, self.cfg, rng,
-                    images=imgs,
-                    random_select_patch=a.random_select_patch,
-                    random_select_patch_num=a.random_select_patch_num,
-                    prompt_bucket=a.prompt_bucket,
-                    completion_bucket=a.completion_bucket,
-                    patch_bucket=a.patch_bucket,
-                    canvas_hw=a.canvas_hw,
-                    use_mask_targets=a.use_mask_loss,
-                )
                 epoch_frac = self.global_step / max(epoch_len, 1)
                 warmup = (
                     a.use_warm_up
                     and epoch_frac < a.num_train_epochs / 4
                     and self.global_step < a.warm_up_max_steps
                 )
-                with self.mesh:
-                    b_sh = batch_shardings(tb.model, self.mesh)
-                    batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
-                    step = self._step_fn(tb.prompt_length, tb.meta["canvas_hw"])
-                    t0 = time.perf_counter()
-                    self.params, self.opt_state, metrics = step(
-                        self.params, self.opt_state, batch_dev, jnp.asarray(bool(warmup))
+                t0 = time.perf_counter()
+                micro_batches = []
+                for mi in range(ga):
+                    batch_idx = idxs[bi + mi * micro : bi + (mi + 1) * micro]
+                    samples = [self.dataset[i] for i in batch_idx]
+                    imgs = [self.images[i] for i in batch_idx] if self.images is not None else None
+                    micro_batches.append(
+                        build_train_batch(
+                            samples, self.processor, self.cfg, rng,
+                            images=imgs,
+                            random_select_patch=a.random_select_patch,
+                            random_select_patch_num=a.random_select_patch_num,
+                            prompt_bucket=a.prompt_bucket,
+                            completion_bucket=a.completion_bucket,
+                            patch_bucket=a.patch_bucket,
+                            canvas_hw=a.canvas_hw,
+                            use_mask_targets=a.use_mask_loss,
+                        )
                     )
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    metrics["step_time_s"] = time.perf_counter() - t0
+                with self.mesh:
+                    if ga == 1:
+                        tb = micro_batches[0]
+                        b_sh = batch_shardings(tb.model, self.mesh)
+                        batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
+                        step = self._step_fn(tb.prompt_length, tb.meta["canvas_hw"])
+                        self.params, self.opt_state, metrics = step(
+                            self.params, self.opt_state, batch_dev, jnp.asarray(bool(warmup))
+                        )
+                        metrics = {k: float(v) for k, v in metrics.items()}
+                    else:
+                        # true gradient accumulation (HF Trainer semantics)
+                        grads_acc = None
+                        metric_sum: Dict[str, float] = {}
+                        for tb in micro_batches:
+                            grad_fn, add_fn, apply_fn = self._accum_fns(
+                                tb.prompt_length, tb.meta["canvas_hw"]
+                            )
+                            b_sh = batch_shardings(tb.model, self.mesh)
+                            batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
+                            grads, m = grad_fn(self.params, batch_dev, jnp.asarray(bool(warmup)))
+                            grads_acc = grads if grads_acc is None else add_fn(grads_acc, grads)
+                            for k, v in m.items():
+                                metric_sum[k] = metric_sum.get(k, 0.0) + float(v)
+                        self.params, self.opt_state, gnorm = apply_fn(
+                            self.params, self.opt_state, grads_acc, ga
+                        )
+                        metrics = {k: v / ga for k, v in metric_sum.items()}
+                        metrics["grad_norm"] = float(gnorm)
+                metrics["step_time_s"] = time.perf_counter() - t0
                 self.global_step += 1
                 metrics.update(step=self.global_step, epoch=round(epoch_frac, 4), warmup=bool(warmup))
                 self.metrics_log.append(metrics)

@@ -60,15 +60,19 @@ def tiny_setup(tmp_path_factory):
     tok = make_tiny_tokenizer(cfg)
     proc = VisionTextProcessor(tok, cfg, seq_bucket=64, patch_bucket=cfg.max_image_patches)
     proc.prepare(cfg.text.vocab_size)
-    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    def make_params():
+        # fresh params per test: PaDTTrainer takes ownership (buffer donation)
+        return P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+
     dataset = load_jsonl_datasets([str(out)], [str(tmp)])
-    return cfg, proc, params, dataset, tmp
+    return cfg, proc, make_params, dataset, tmp
 
 
 def test_train_loop_and_resume(tiny_setup):
     from padt_tpu.train.trainer import PaDTTrainer, TrainArgs
 
-    cfg, proc, params, dataset, tmp = tiny_setup
+    cfg, proc, make_params, dataset, tmp = tiny_setup
+    params = make_params()
     args = TrainArgs(
         learning_rate=1e-4,
         per_device_train_batch_size=2,
@@ -101,3 +105,28 @@ def test_train_loop_and_resume(tiny_setup):
     a = jax.tree.leaves(trainer.params)[0]
     b = jax.tree.leaves(trainer2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_gradient_accumulation(tiny_setup):
+    """ga=2 accumulates before the optimizer step and matches total step count."""
+    from padt_tpu.train.trainer import PaDTTrainer, TrainArgs
+
+    cfg, proc, make_params, dataset, tmp = tiny_setup
+    params = make_params()
+    args = TrainArgs(
+        learning_rate=1e-4,
+        per_device_train_batch_size=1,
+        gradient_accumulation_steps=2,
+        num_train_epochs=1.0,
+        save_steps=100,
+        output_dir=str(tmp / "out_ga"),
+        prompt_bucket=256,
+        completion_bucket=64,
+        patch_bucket=256,
+        canvas_hw=(8, 8),
+        seed=0,
+    )
+    trainer = PaDTTrainer(cfg, params, proc, args, dataset)
+    log = trainer.train()
+    assert trainer.global_step == 2  # 4 samples / (1 micro x 2 accum)
+    assert all(np.isfinite(m["loss"]) for m in log)
