@@ -1,0 +1,97 @@
+"""Model-variant coverage: untied embeddings (7B layout), prototype projection
+off, mask head off — the config switches released checkpoints exercise."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from padt_tpu.config import padt_tiny
+
+
+def _batch(cfg, b=1, grid=(1, 8, 8), l=64):
+    from padt_tpu.models.mrope_index import get_rope_index
+    from padt_tpu.models.vision_geom import vision_geometry
+
+    rng = np.random.RandomState(0)
+    s = cfg.max_image_patches
+    geom = vision_geometry([grid] * b, s)
+    pix = rng.randn(b, s, cfg.vision.patch_input_dim).astype(np.float32)
+    nm = grid[0] * grid[1] * grid[2] // 4
+    ids = np.full((b, l), cfg.pad_token_id, np.int64)
+    am = np.zeros((b, l), np.int64)
+    seq = [cfg.vision_start_token_id] + [cfg.image_token_id] * nm + [7, 8, 9]
+    for i in range(b):
+        ids[i, l - len(seq):] = seq
+        am[i, l - len(seq):] = 1
+    pos, deltas = get_rope_index(ids, am, np.array([grid] * b), cfg.image_token_id)
+    return dict(
+        pixel_patches=jnp.asarray(pix), window_index=jnp.asarray(geom.window_index),
+        inv_window_index=jnp.asarray(geom.inv_window_index), seg_win=jnp.asarray(geom.seg_win),
+        seg_full=jnp.asarray(geom.seg_full), hpos=jnp.asarray(geom.hpos),
+        wpos=jnp.asarray(geom.wpos), num_merged=jnp.asarray(geom.num_merged),
+        num_patches=jnp.asarray(geom.num_patches), grid_thw=jnp.asarray(geom.grid_thw),
+        input_ids=jnp.asarray(ids, jnp.int32), attention_mask=jnp.asarray(am, jnp.int32),
+        position_ids=jnp.asarray(pos),
+    ), jnp.asarray(deltas)
+
+
+def test_untied_embeddings_uses_lm_head():
+    import dataclasses
+
+    from padt_tpu.models import padt as P
+
+    cfg = padt_tiny()
+    cfg = cfg.replace(text=dataclasses.replace(cfg.text, tie_word_embeddings=False))
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    assert "lm_head" in params["text"]
+    batch, deltas = _batch(cfg)
+    logits, hidden, art = P.forward_train(params, cfg, batch)
+    assert np.isfinite(np.asarray(logits[batch["attention_mask"].astype(bool)])).all()
+    # logits must differ from the tied computation (different head weights)
+    tied = jnp.einsum("bld,vd->blv", hidden, params["text"]["embed"])
+    assert not np.allclose(np.asarray(tied), np.asarray(logits[..., : cfg.text.vocab_size]))
+
+
+def test_prototype_projection_off():
+    from padt_tpu.models import padt as P
+
+    cfg = padt_tiny().replace(use_visual_prototype_projection=False)
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    assert "proto" not in params
+    batch, deltas = _batch(cfg)
+    art = P.run_vision(params, cfg, batch)
+    # prototypes ARE the merged embeds (padt.py:191 clone)
+    np.testing.assert_array_equal(np.asarray(art.proto), np.asarray(art.merged))
+
+
+def test_zero_init_prototypes_start_at_zero():
+    """ZeroInitLayerNorm zero-inits weight AND bias, so prototypes are exactly
+    0 at init (padt.py:134-139) — the warm-up rationale."""
+    from padt_tpu.models import padt as P
+
+    cfg = padt_tiny()
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch, _ = _batch(cfg)
+    art = P.run_vision(params, cfg, batch)
+    np.testing.assert_allclose(np.asarray(art.proto), 0.0, atol=1e-6)
+
+
+def test_mask_head_off():
+    from padt_tpu.models import padt as P
+
+    cfg = padt_tiny()
+    import dataclasses
+
+    cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, use_mask_head=False))
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch, _ = _batch(cfg)
+    art = P.run_vision(params, cfg, batch)
+    feats = jnp.zeros((4, cfg.max_vrt_per_object, cfg.text.hidden_size))
+    dec = P.vl_decode(
+        params, cfg, feats, jnp.asarray([1, 1, 0, 0]), jnp.asarray([True, True, False, False]),
+        jnp.asarray([0, 0, 0, 0]), art, canvas_hw=(8, 8),
+    )
+    assert dec.pred_boxes.shape == (4, 4)
+    assert float(jnp.abs(dec.pred_mask).sum()) == 0.0  # empty canvas, no mask compute
