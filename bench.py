@@ -28,8 +28,9 @@ def _config():
 
     if os.environ.get("PADT_BENCH_SMALL", "0") == "1":
         return padt_tiny().replace(max_image_patches=256), 2, 8, 16, (1, 8, 12)
-    cfg = padt_3b().replace(max_image_patches=2304)
-    batch = int(os.environ.get("PADT_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("PADT_BENCH_BATCH", "64"))
+    chunk = int(os.environ.get("PADT_BENCH_VISION_CHUNK", "16" if batch > 32 else "0"))
+    cfg = padt_3b().replace(max_image_patches=2304, vision_chunk_size=chunk)
     return cfg, batch, 16, 80, (1, 46, 46)  # grid = 644px image
 
 

@@ -114,6 +114,9 @@ class PaDTConfig:
     max_image_patches: int = 2304  # 14px-patch tokens per image, multiple of 4
     max_vrt_per_object: int = 16
     max_objects: int = 32
+    # process the vision tower in batch chunks of this size (0 = whole batch):
+    # bounds activation transients so large serving batches fit in HBM
+    vision_chunk_size: int = 0
 
     dtype: str = "bfloat16"
 

@@ -138,7 +138,27 @@ class VisionArtifacts(NamedTuple):
     grid_thw: jnp.ndarray  # (B, 3)
 
 
+_VISION_BATCH_KEYS = (
+    "pixel_patches", "window_index", "inv_window_index", "seg_win", "seg_full",
+    "hpos", "wpos", "num_merged", "num_patches", "grid_thw",
+)
+
+
 def run_vision(params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False) -> VisionArtifacts:
+    b = batch["pixel_patches"].shape[0]
+    cs = cfg.vision_chunk_size
+    if cs and b > cs and b % cs == 0:
+        # chunked execution: vision activation transients dominate HBM at large
+        # batch (7.75 GB at 3B/B48); lax.map over chunks bounds them to one
+        # chunk's worth at the cost of serializing chunks (same total FLOPs)
+        nc = b // cs
+        vb = {k: batch[k].reshape(nc, cs, *batch[k].shape[1:]) for k in _VISION_BATCH_KEYS}
+        art = jax.lax.map(lambda bc: _run_vision_once(params, cfg, bc, remat), vb)
+        return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), art)
+    return _run_vision_once(params, cfg, batch, remat)
+
+
+def _run_vision_once(params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False) -> VisionArtifacts:
     merged, high_res, (cos, sin) = vision_forward(
         params["vision"],
         cfg.vision,

@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_default_matmul_precision", "highest")
+
 from padt_tpu.config import padt_tiny
 
 
@@ -95,3 +97,17 @@ def test_mask_head_off():
     )
     assert dec.pred_boxes.shape == (4, 4)
     assert float(jnp.abs(dec.pred_mask).sum()) == 0.0  # empty canvas, no mask compute
+
+
+def test_vision_chunking_equivalence():
+    """Chunked vision (lax.map over batch chunks) == whole-batch execution."""
+    from padt_tpu.models import padt as P
+
+    cfg = padt_tiny()
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch, _ = _batch(cfg, b=4)
+    ref = P.run_vision(params, cfg, batch)
+    cfg2 = cfg.replace(vision_chunk_size=2)
+    out = P.run_vision(params, cfg2, batch)
+    np.testing.assert_allclose(np.asarray(ref.merged), np.asarray(out.merged), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.high_res), np.asarray(out.high_res), rtol=2e-5, atol=2e-5)
