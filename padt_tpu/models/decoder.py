@@ -281,16 +281,31 @@ def decoder_forward(
 
     logit = jnp.einsum("nsrcf,nf->nsrc", me.astype(jnp.float32), mask_output.astype(jnp.float32))
 
-    # scatter: sequence position p -> (p // W, p % W) on a static canvas
+    canvas = assemble_mask_canvas(
+        logit, ws, num_patches[obj_sample], obj_valid, canvas_hw
+    )
+    return DecoderOutput(pred_boxes, pred_score, canvas, mask_hw, obj_valid)
+
+
+def assemble_mask_canvas(
+    logit: jnp.ndarray,  # (N, S, 4, 4) per-token 4x4 sub-grid logits
+    ws: jnp.ndarray,  # (N,) grid width (14px patches) per object
+    n_tokens: jnp.ndarray,  # (N,) valid tokens per object
+    obj_valid: jnp.ndarray,  # (N,)
+    canvas_hw: Tuple[int, int],
+) -> jnp.ndarray:
+    """Scatter token p's 4x4 block to raster cell (p // W, p % W) on a static
+    (N, 4*H_max, 4*W_max) canvas (padt_decoder.py:246-274 semantics — sequence
+    position treated as raster regardless of the tokens' window ordering)."""
+    n, s = logit.shape[:2]
     hc, wc = canvas_hw
     pos = jnp.arange(s)[None, :]
     w_per = jnp.maximum(ws, 1)[:, None]
     row = pos // w_per
     col = pos % w_per
-    in_range = (pos < num_patches[obj_sample][:, None]) & obj_valid[:, None]
+    in_range = (pos < n_tokens[:, None]) & obj_valid[:, None]
     row = jnp.where(in_range, row, hc)  # out-of-range rows dropped by scatter
     n_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, s))
     canvas = jnp.zeros((n, hc, wc, 4, 4), jnp.float32)
     canvas = canvas.at[n_idx, row, col].set(logit, mode="drop")
-    canvas = canvas.transpose(0, 1, 3, 2, 4).reshape(n, hc * 4, wc * 4)
-    return DecoderOutput(pred_boxes, pred_score, canvas, mask_hw, obj_valid)
+    return canvas.transpose(0, 1, 3, 2, 4).reshape(n, hc * 4, wc * 4)

@@ -193,42 +193,55 @@ class PaDTTrainer:
         epoch_len = len(self.dataset) // bs
 
         start_epoch = self.global_step // max(epoch_len, 1)
-        for epoch in range(start_epoch, int(np.ceil(a.num_train_epochs))):
-            sampler = repeat_random_sampler(
-                len(self.dataset), bs, seed=a.seed + epoch,
-                gradient_accumulation_steps=a.gradient_accumulation_steps,
-            )
-            idxs = list(sampler)
+
+        def produce():
+            """Host-side batch building, run ahead on a prefetch thread."""
+            step_counter = self.global_step
             micro = a.per_device_train_batch_size
             ga = a.gradient_accumulation_steps
-            for bi in range(0, len(idxs) // (micro * ga) * (micro * ga), micro * ga):
-                if self.global_step >= self.total_steps:
-                    break
-                epoch_frac = self.global_step / max(epoch_len, 1)
-                warmup = (
-                    a.use_warm_up
-                    and epoch_frac < a.num_train_epochs / 4
-                    and self.global_step < a.warm_up_max_steps
-                )
-                t0 = time.perf_counter()
-                micro_batches = []
-                for mi in range(ga):
-                    batch_idx = idxs[bi + mi * micro : bi + (mi + 1) * micro]
-                    samples = [self.dataset[i] for i in batch_idx]
-                    imgs = [self.images[i] for i in batch_idx] if self.images is not None else None
-                    micro_batches.append(
-                        build_train_batch(
-                            samples, self.processor, self.cfg, rng,
-                            images=imgs,
-                            random_select_patch=a.random_select_patch,
-                            random_select_patch_num=a.random_select_patch_num,
-                            prompt_bucket=a.prompt_bucket,
-                            completion_bucket=a.completion_bucket,
-                            patch_bucket=a.patch_bucket,
-                            canvas_hw=a.canvas_hw,
-                            use_mask_targets=a.use_mask_loss,
-                        )
+            for epoch in range(start_epoch, int(np.ceil(a.num_train_epochs))):
+                idxs = list(
+                    repeat_random_sampler(
+                        len(self.dataset), bs, seed=a.seed + epoch,
+                        gradient_accumulation_steps=ga,
                     )
+                )
+                for bi in range(0, len(idxs) // (micro * ga) * (micro * ga), micro * ga):
+                    if step_counter >= self.total_steps:
+                        return
+                    epoch_frac = step_counter / max(epoch_len, 1)
+                    warmup = (
+                        a.use_warm_up
+                        and epoch_frac < a.num_train_epochs / 4
+                        and step_counter < a.warm_up_max_steps
+                    )
+                    micro_batches = []
+                    for mi in range(ga):
+                        batch_idx = idxs[bi + mi * micro : bi + (mi + 1) * micro]
+                        samples = [self.dataset[i] for i in batch_idx]
+                        imgs = [self.images[i] for i in batch_idx] if self.images is not None else None
+                        micro_batches.append(
+                            build_train_batch(
+                                samples, self.processor, self.cfg, rng,
+                                images=imgs,
+                                random_select_patch=a.random_select_patch,
+                                random_select_patch_num=a.random_select_patch_num,
+                                prompt_bucket=a.prompt_bucket,
+                                completion_bucket=a.completion_bucket,
+                                patch_bucket=a.patch_bucket,
+                                canvas_hw=a.canvas_hw,
+                                use_mask_targets=a.use_mask_loss,
+                            )
+                        )
+                    step_counter += 1
+                    yield micro_batches, warmup, epoch_frac
+
+        from .prefetch import BatchPrefetcher
+
+        for micro_batches, warmup, epoch_frac in BatchPrefetcher(produce(), depth=2):
+            ga = a.gradient_accumulation_steps
+            t0 = time.perf_counter()
+            if True:
                 with self.mesh:
                     if ga == 1:
                         tb = micro_batches[0]

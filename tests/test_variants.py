@@ -111,3 +111,34 @@ def test_vision_chunking_equivalence():
     out = P.run_vision(params, cfg2, batch)
     np.testing.assert_allclose(np.asarray(ref.merged), np.asarray(out.merged), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ref.high_res), np.asarray(out.high_res), rtol=2e-5, atol=2e-5)
+
+
+def test_mask_canvas_geometry():
+    """Token p's 4x4 block lands at raster cell (p//W, p%W) with correct
+    sub-pixel layout (reference masks_padded permute, padt_decoder.py:269-274)."""
+    from padt_tpu.models.decoder import assemble_mask_canvas
+
+    n, s = 2, 12
+    logit = np.zeros((n, s, 4, 4), np.float32)
+    # object 0 (W=4): token 5 -> cell (1, 1); put a distinctive sub-grid
+    sub = np.arange(16, dtype=np.float32).reshape(4, 4)
+    logit[0, 5] = sub
+    # object 1 (W=3): token 7 -> cell (2, 1)
+    logit[1, 7] = 2 * sub
+    canvas = assemble_mask_canvas(
+        jnp.asarray(logit), jnp.asarray([4, 3]), jnp.asarray([12, 9]),
+        jnp.asarray([True, True]), canvas_hw=(4, 4),
+    )
+    c = np.asarray(canvas)
+    assert c.shape == (2, 16, 16)
+    np.testing.assert_array_equal(c[0, 4:8, 4:8], sub)
+    assert c[0].sum() == sub.sum()  # nothing else set
+    np.testing.assert_array_equal(c[1, 8:12, 4:8], 2 * sub)
+    # object 1 token indices >= 9 are out of range (n_tokens=9): set one, expect dropped
+    logit2 = logit.copy()
+    logit2[1, 10] = 99.0
+    canvas2 = assemble_mask_canvas(
+        jnp.asarray(logit2), jnp.asarray([4, 3]), jnp.asarray([12, 9]),
+        jnp.asarray([True, True]), canvas_hw=(4, 4),
+    )
+    assert float(np.abs(np.asarray(canvas2[1])).sum()) == float(np.abs(2 * sub).sum())
