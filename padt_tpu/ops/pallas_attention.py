@@ -102,7 +102,8 @@ def _flash_raw(
     def pick_block(s):
         # largest tile dividing s: fewer grid programs -> less launch overhead
         # (at 3B vision shapes, 128-blocks cost 41 ms/layer vs 18 ms at 768)
-        for c in (768, 640, 512, 384, 320, 256, 128):
+        # candidates must be multiples of 128 (lane dim of the seg blocks)
+        for c in (768, 640, 512, 384, 256, 128):
             if s % c == 0:
                 return c
         return min(s, 128)
