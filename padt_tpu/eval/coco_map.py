@@ -50,13 +50,10 @@ def box_iou_xywh(d: np.ndarray, g: np.ndarray, iscrowd: Sequence[bool]) -> np.nd
 
 def mask_iou_rle(dts: List[Dict], gts: List[Dict], iscrowd: Sequence[bool]) -> np.ndarray:
     out = np.zeros((len(dts), len(gts)))
-    dms = [rle_codec.decode(r).astype(bool) for r in dts]
-    gms = [rle_codec.decode(r).astype(bool) for r in gts]
-    for i, dm in enumerate(dms):
-        for j, gm in enumerate(gms):
-            inter = np.logical_and(dm, gm).sum()
-            den = dm.sum() if iscrowd[j] else np.logical_or(dm, gm).sum()
-            out[i, j] = inter / den if den > 0 else 0.0
+    for i, dr in enumerate(dts):
+        for j, gr in enumerate(gts):
+            # native decode-free run-walk when available (eval/rle.py)
+            out[i, j] = rle_codec.mask_iou(dr, gr, iscrowd=bool(iscrowd[j]))
     return out
 
 

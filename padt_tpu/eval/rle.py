@@ -136,8 +136,17 @@ def to_bbox(rle: Dict) -> Tuple[float, float, float, float]:
 
 
 def mask_iou(a: Dict, b: Dict, iscrowd: bool = False) -> float:
-    """IoU of two RLE masks (decoded path; pycocotools iou() semantics:
-    iscrowd -> intersection / area(a))."""
+    """IoU of two RLE masks (pycocotools iou() semantics:
+    iscrowd -> intersection / area(a)). Uses the native decode-free run-walk
+    when both RLEs are compressed strings of equal size."""
+    nat = _try_native()
+    if (
+        nat
+        and isinstance(a.get("counts"), str)
+        and isinstance(b.get("counts"), str)
+        and a["size"] == b["size"]
+    ):
+        return nat.iou(a["counts"], b["counts"], iscrowd)
     ma = decode(a).astype(bool)
     mb = decode(b).astype(bool)
     inter = np.logical_and(ma, mb).sum()

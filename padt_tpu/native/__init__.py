@@ -53,6 +53,14 @@ class _MaskOps:
             ]
             lib.rle_area.restype = ctypes.c_double
             lib.rle_area.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.rle_iou.restype = ctypes.c_double
+            lib.rle_iou.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
             self._lib = lib
         except Exception:
             self._lib = None
@@ -89,6 +97,15 @@ class _MaskOps:
         lib = self._load()
         s = counts.encode("ascii")
         return lib.rle_area(s, len(s))
+
+    def iou(self, counts_a: str, counts_b: str, iscrowd: bool = False) -> float:
+        lib = self._load()
+        a = counts_a.encode("ascii")
+        b = counts_b.encode("ascii")
+        r = lib.rle_iou(a, len(a), b, len(b), 1 if iscrowd else 0)
+        if r < 0:
+            raise ValueError("malformed RLE")
+        return r
 
 
 maskops = _MaskOps()

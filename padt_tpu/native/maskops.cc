@@ -123,4 +123,60 @@ double rle_area(const char* s, int n) {
   return a;
 }
 
+// Decode-free IoU between two compressed RLEs of equal size (column-major run
+// walk, like pycocotools rleIou): intersection accumulated over merged runs.
+// Returns -1.0 on malformed input. iscrowd!=0 -> intersection / area(a2)?? —
+// pycocotools semantics: iscrowd uses det area (first arg = detection).
+static bool parse_counts(const char* s, int n, std::vector<long>* out) {
+  int i = 0;
+  while (i < n) {
+    long x = 0;
+    int k = 0;
+    bool more = true;
+    while (more) {
+      if (i >= n) return false;
+      long c = (long)s[i] - 48;
+      x |= (c & 0x1f) << (5 * k);
+      more = (c & 0x20) != 0;
+      ++i;
+      ++k;
+      if (!more && (c & 0x10)) x |= -1L << (5 * k);
+    }
+    if (out->size() > 2) x += (*out)[out->size() - 2];
+    out->push_back(x);
+  }
+  return true;
+}
+
+double rle_iou(const char* sa, int na, const char* sb, int nb, int iscrowd) {
+  std::vector<long> a, b;
+  if (!parse_counts(sa, na, &a) || !parse_counts(sb, nb, &b)) return -1.0;
+  double area_a = 0, area_b = 0, inter = 0;
+  for (size_t i = 1; i < a.size(); i += 2) area_a += (double)a[i];
+  for (size_t i = 1; i < b.size(); i += 2) area_b += (double)b[i];
+  // merged run walk
+  size_t ia = 0, ib = 0;
+  long ca = ia < a.size() ? a[0] : 0;  // remaining length of current run in a
+  long cb = ib < b.size() ? b[0] : 0;
+  bool va = false, vb = false;  // current run values (first run = zeros)
+  while (ia < a.size() && ib < b.size()) {
+    long step = ca < cb ? ca : cb;
+    if (va && vb) inter += (double)step;
+    ca -= step;
+    cb -= step;
+    if (ca == 0) {
+      ++ia;
+      if (ia < a.size()) ca = a[ia];
+      va = !va;
+    }
+    if (cb == 0) {
+      ++ib;
+      if (ib < b.size()) cb = b[ib];
+      vb = !vb;
+    }
+  }
+  double den = iscrowd ? area_a : (area_a + area_b - inter);
+  return den > 0 ? inter / den : 0.0;
+}
+
 }  // extern "C"

@@ -67,3 +67,22 @@ def test_mask_iou():
 def test_poly_to_mask():
     m = rle.poly_to_mask([[1, 1, 8, 1, 8, 8, 1, 8]], 10, 10)
     assert m[4, 4] == 1 and m[0, 0] == 0 and m.sum() >= 49
+
+
+def test_native_rle_iou_matches_decode_path():
+    from padt_tpu.native import maskops
+
+    if not maskops.available():
+        pytest.skip("native maskops unavailable")
+    for seed in range(3):
+        a = _random_mask(60, 45, seed=seed)
+        b = _random_mask(60, 45, seed=seed + 10)
+        ra, rb = rle.encode(a), rle.encode(b)
+        # decode-path reference
+        inter = np.logical_and(a, b).sum()
+        union = np.logical_or(a, b).sum()
+        ref = inter / union if union else 0.0
+        assert abs(maskops.iou(ra["counts"], rb["counts"]) - ref) < 1e-9
+        assert abs(rle.mask_iou(ra, rb) - ref) < 1e-9
+        if a.sum():
+            assert abs(maskops.iou(ra["counts"], rb["counts"], iscrowd=True) - inter / a.sum()) < 1e-9
