@@ -122,6 +122,8 @@ def vision_geometry(
     for i, (t, h, w) in enumerate(grid_thw):
         n = t * h * w
         nm = n // unit
+        if n == 0:  # text-only sample: all padding
+            continue
         if n > max_patches:
             raise ValueError(f"image with {n} patches exceeds bucket {max_patches}")
         wi, win_id, hp, wp = _single_image_geometry(

@@ -155,11 +155,10 @@ class VisionTextProcessor:
         processed: List[Optional[ProcessedImage]] = []
         if images is not None:
             for img in images:
-                processed.append(
-                    img
-                    if isinstance(img, ProcessedImage)
-                    else process_image(img, self.min_pixels, self.max_pixels)
-                )
+                if img is None or isinstance(img, ProcessedImage):
+                    processed.append(img)
+                else:
+                    processed.append(process_image(img, self.min_pixels, self.max_pixels))
         else:
             processed = [None] * b
 

@@ -177,3 +177,18 @@ def test_sampling_modes(processor, cfg):
     )
     toks = np.asarray(samp.tokens)
     assert ((toks >= 0) & (toks < cfg.text.vocab_size + jbatch["pixel_patches"].shape[1] // 4)).all()
+
+
+def test_mixed_image_and_text_only_batch(processor, cfg):
+    """Mixed image/text-only batches just work under SPMD static shapes — the
+    reference needed an all-reduce image-presence sync + dummy vision forward
+    (qwen2_5vl_monkey_patch.py:81-114)."""
+    from padt_tpu.models import padt as P
+
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch = processor.build_batch(["find the cat", "just text"], [_fake_image(), None])
+    jb = {k: jnp.asarray(v) for k, v in batch.data.items()}
+    logits, hidden, art = P.forward_train(params, cfg, jb)
+    am = batch.data["attention_mask"].astype(bool)
+    assert np.isfinite(np.asarray(logits)[am]).all()
+    assert int(art.num_merged[1]) == 0
