@@ -46,6 +46,8 @@ def main():
     dtype = jnp.bfloat16
 
     params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
+    if os.environ.get("PADT_BENCH_INT8", "0") == "1":
+        params = P.quantize_params(params)
 
     grids = [grid] * batch_size
     s_max = cfg.max_image_patches

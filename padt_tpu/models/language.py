@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..config import TextConfig
 from ..ops.attention import causal_attention, decode_attention
 from ..ops.norms import rms_norm
+from ..ops.quant import linear as qlinear
 from ..ops.rope import apply_rotary, mrope_cos_sin
 
 
@@ -80,16 +81,17 @@ def init_text_params(cfg: TextConfig, key, dtype=jnp.bfloat16):
 
 def _qkv(x, lp, cfg: TextConfig, cos, sin):
     b, l, _ = x.shape
-    q = (x @ lp["q_w"] + lp["q_b"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)
-    k = (x @ lp["k_w"] + lp["k_b"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
-    v = (x @ lp["v_w"] + lp["v_b"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
+    q = (qlinear(lp, "q_w", x) + lp["q_b"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)
+    k = (qlinear(lp, "k_w", x) + lp["k_b"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
+    v = (qlinear(lp, "v_w", x) + lp["v_b"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
     q = apply_rotary(q, cos[:, :, None, :], sin[:, :, None, :])
     k = apply_rotary(k, cos[:, :, None, :], sin[:, :, None, :])
     return q, k, v
 
 
 def _mlp(x, lp):
-    return (jax.nn.silu(x @ lp["gate_w"]) * (x @ lp["up_w"])) @ lp["down_w"]
+    h = jax.nn.silu(qlinear(lp, "gate_w", x)) * qlinear(lp, "up_w", x)
+    return qlinear(lp, "down_w", h)
 
 
 def text_forward(
@@ -108,7 +110,7 @@ def text_forward(
         xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
         q, k, v = _qkv(xn, lp, cfg, cos, sin)
         attn = causal_attention(q, k, v, valid)
-        x = x + attn.reshape(*x.shape[:2], -1) @ lp["o_w"]
+        x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
         x = x + _mlp(xn, lp)
         return x, (k, v)
@@ -142,7 +144,7 @@ def prefill(
         xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
         q, k, v = _qkv(xn, lp, cfg, cos, sin)
         attn = causal_attention(q, k, v, valid)
-        x = x + attn.reshape(*x.shape[:2], -1) @ lp["o_w"]
+        x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
         x = x + _mlp(xn, lp)
         return x, (jnp.pad(k, pad), jnp.pad(v, pad))
@@ -177,7 +179,7 @@ def decode_step(
         k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, pos, axis=1)
         v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, pos, axis=1)
         attn = decode_attention(q, k_cache, v_cache, new_valid)
-        x = x + attn.reshape(*x.shape[:2], -1) @ lp["o_w"]
+        x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
         x = x + _mlp(xn, lp)
         return x, (k_cache, v_cache)

@@ -311,6 +311,34 @@ def generate(
 
 
 # ---------------------------------------------------------------------------
+# int8 weight-only quantization (serving)
+# ---------------------------------------------------------------------------
+
+_QUANT_LAYER_WEIGHTS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+
+
+def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the LLM layer weights to per-channel int8 (inference only).
+
+    Embeddings / lm head / vision / decoder stay bf16 (embed rows are gathered,
+    the head is ~10% of weight traffic, vision is compute-bound). Halves decode
+    weight traffic and frees ~2.4 GB HBM at 3B."""
+    from ..ops.quant import quantize_weight
+
+    layers = dict(params["text"]["layers"])
+    for name in _QUANT_LAYER_WEIGHTS:
+        w = layers.pop(name)  # (L, in, out)
+        # sequential over layers: vmap would materialize an all-layer fp32
+        # copy (~12 GB at 3B) and OOM during quantization
+        qd = jax.jit(lambda w: jax.lax.map(quantize_weight, w))(w)
+        layers[name + "_q"] = qd["q"]
+        layers[name + "_s"] = qd["s"]
+    out = dict(params)
+    out["text"] = dict(params["text"], layers=layers)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # vl_decode glue: per-object VRT hidden groups -> perception decoder
 # ---------------------------------------------------------------------------
 
