@@ -21,20 +21,23 @@ import time
 import numpy as np
 
 
-def _config():
+def _config(batch=None):
     import dataclasses
 
     from padt_tpu.config import padt_3b, padt_tiny
 
     if os.environ.get("PADT_BENCH_SMALL", "0") == "1":
         return padt_tiny().replace(max_image_patches=256), 2, 8, 16, (1, 8, 12)
-    batch = int(os.environ.get("PADT_BENCH_BATCH", "64"))
-    chunk = int(os.environ.get("PADT_BENCH_VISION_CHUNK", "16" if batch > 32 else "0"))
+    batch = batch or int(os.environ.get("PADT_BENCH_BATCH", "0")) or None
+    chunk_env = os.environ.get("PADT_BENCH_VISION_CHUNK")
+    if batch is None:
+        batch = 96  # largest known-good; main() falls back on OOM
+    chunk = int(chunk_env) if chunk_env else (16 if batch > 32 else 0)
     cfg = padt_3b().replace(max_image_patches=2304, vision_chunk_size=chunk)
     return cfg, batch, 16, 80, (1, 46, 46)  # grid = 644px image
 
 
-def main():
+def main(batch=None):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +45,7 @@ def main():
     from padt_tpu.models.mrope_index import get_rope_index
     from padt_tpu.models.vision_geom import vision_geometry
 
-    cfg, batch_size, n_short, n_long, grid = _config()
+    cfg, batch_size, n_short, n_long, grid = _config(batch)
     dtype = jnp.bfloat16
 
     params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
@@ -138,5 +141,20 @@ def main():
     print(json.dumps(result))
 
 
+def main_with_fallback():
+    """Try the largest known-good batch first; halve on OOM so the driver
+    always records a number."""
+    if os.environ.get("PADT_BENCH_BATCH") or os.environ.get("PADT_BENCH_SMALL") == "1":
+        return main()
+    for b in (96, 64, 32, 16, 8):
+        try:
+            return main(batch=b)
+        except Exception as e:
+            import sys
+
+            print(f"batch {b} failed ({type(e).__name__}); retrying smaller", file=sys.stderr)
+    return main(batch=4)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_fallback()
