@@ -38,8 +38,12 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     wb = w_ref[:].astype(jnp.bfloat16)
+    # explicit DEFAULT precision: a global 'highest' matmul-precision setting
+    # does not lower for bf16 dots inside Mosaic kernels
     acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
+        x_ref[:].astype(jnp.bfloat16), wb,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
     @pl.when(kk == pl.num_programs(2) - 1)
@@ -52,14 +56,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_blk_k(k: int, blk_n: int, budget_bytes: int = 3 << 20) -> int:
-    """Largest divisor of k (multiple of 128) whose weight tile fits the budget."""
-    best = 128
+    """Largest divisor of k (multiple of 128) whose int8 weight tile fits the
+    budget; falls back to whole-K (legal: block dim == full array dim)."""
+    best = None
     c = 128
     while c <= k:
         if k % c == 0 and c * blk_n <= budget_bytes:
             best = c
         c += 128
-    return best
+    return best if best is not None else k
 
 
 def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:

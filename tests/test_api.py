@@ -1,0 +1,92 @@
+"""User-facing checkpoint path: HF save_pretrained dir -> api.load_model ->
+InferenceEngine, and the native orbax conversion round trip."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def hf_ckpt_dir(tmp_path_factory):
+    import torch
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import Qwen2_5_VLConfig
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    cfg = Qwen2_5_VLConfig(
+        text_config=dict(
+            vocab_size=512, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, intermediate_size=96, tie_word_embeddings=True,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        ),
+        vision_config=dict(
+            depth=2, hidden_size=32, intermediate_size=64, num_heads=2,
+            out_hidden_size=64, fullatt_block_indexes=[1], spatial_merge_size=2,
+        ),
+        image_token_id=500, video_token_id=501, vision_start_token_id=498,
+        tie_word_embeddings=True,
+    )
+    # PaDT-style extras embedded in the config (padt_sft_trainer.py:149-162)
+    cfg.vl_decoder = {
+        "name": "PaDTDecoder", "hidden_size": 32, "intermediate_size": 64,
+        "llm_hidden_state": 64, "num_heads": 2, "spatial_merge_size": 2,
+        "use_mask_loss": True,
+    }
+    cfg.use_visual_prototype_projection = False
+    torch.manual_seed(0)
+    model = Qwen2_5_VLForConditionalGeneration(cfg)
+    d = tmp_path_factory.mktemp("hf_ckpt")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_load_model_from_hf_dir(hf_ckpt_dir):
+    from padt_tpu.api import load_model
+    from padt_tpu.eval.harness import InferenceEngine
+    from padt_tpu.preprocess.vision_process import ProcessedImage
+
+    import jax.numpy as jnp
+
+    cfg, params, processor = load_model(
+        hf_ckpt_dir, dtype=jnp.float32, max_image_patches=128, eos_token_id=510,
+        pad_token_id=509,
+    )
+    assert cfg.decoder.hidden_size == 32
+    assert cfg.text.vocab_size == 512
+    assert not cfg.use_visual_prototype_projection
+    assert params["text"]["embed"].shape == (512, 64)
+
+    rng = np.random.RandomState(0)
+    img = ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12))
+    engine = InferenceEngine(params, cfg, processor, max_new_tokens=6, canvas_hw=(8, 12))
+    res = engine.run_batch(['find "x"'], [img])
+    assert len(res) == 1 and isinstance(res[0].completion, str)
+
+
+def test_native_conversion_roundtrip(hf_ckpt_dir, tmp_path):
+    from padt_tpu.api import load_model
+
+    import jax
+    import jax.numpy as jnp
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = tmp_path / "native"
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "convert_checkpoint.py"),
+         "--src", hf_ckpt_dir, "--dst", str(dst), "--dtype", "float32"],
+        capture_output=True, text=True, cwd=root, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (dst / "padt_config.json").exists()
+
+    cfg1, p1, _ = load_model(hf_ckpt_dir, dtype=jnp.float32)
+    cfg2, p2, _ = load_model(str(dst), dtype=jnp.float32)
+    assert cfg1.text.hidden_size == cfg2.text.hidden_size
+    a = jax.tree.leaves(p1["text"])[0]
+    b = jax.tree.leaves(p2["text"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
