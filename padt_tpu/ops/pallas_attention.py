@@ -63,8 +63,7 @@ def _fwd_kernel(
         v = v_ref[0, 0, pl.ds(kb * blk_k, blk_k), :].astype(jnp.float32)
         kseg = k_seg_ref[0, 0, pl.ds(kb * blk_k, blk_k)].reshape(1, blk_k)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (blk_q, blk_k)
         mask = (qseg == kseg) & (kseg >= 0)
         if causal:
@@ -78,8 +77,7 @@ def _fwd_kernel(
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
 
