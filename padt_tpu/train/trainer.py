@@ -241,49 +241,48 @@ class PaDTTrainer:
         for micro_batches, warmup, epoch_frac in BatchPrefetcher(produce(), depth=2):
             ga = a.gradient_accumulation_steps
             t0 = time.perf_counter()
-            if True:
-                with self.mesh:
-                    if ga == 1:
-                        tb = micro_batches[0]
+            with self.mesh:
+                if ga == 1:
+                    tb = micro_batches[0]
+                    b_sh = batch_shardings(tb.model, self.mesh)
+                    batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
+                    step = self._step_fn(tb.prompt_length, tb.meta["canvas_hw"])
+                    self.params, self.opt_state, metrics = step(
+                        self.params, self.opt_state, batch_dev, jnp.asarray(bool(warmup))
+                    )
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                else:
+                    # true gradient accumulation (HF Trainer semantics)
+                    grads_acc = None
+                    metric_sum: Dict[str, float] = {}
+                    for tb in micro_batches:
+                        grad_fn, add_fn, apply_fn = self._accum_fns(
+                            tb.prompt_length, tb.meta["canvas_hw"]
+                        )
                         b_sh = batch_shardings(tb.model, self.mesh)
                         batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
-                        step = self._step_fn(tb.prompt_length, tb.meta["canvas_hw"])
-                        self.params, self.opt_state, metrics = step(
-                            self.params, self.opt_state, batch_dev, jnp.asarray(bool(warmup))
-                        )
-                        metrics = {k: float(v) for k, v in metrics.items()}
-                    else:
-                        # true gradient accumulation (HF Trainer semantics)
-                        grads_acc = None
-                        metric_sum: Dict[str, float] = {}
-                        for tb in micro_batches:
-                            grad_fn, add_fn, apply_fn = self._accum_fns(
-                                tb.prompt_length, tb.meta["canvas_hw"]
-                            )
-                            b_sh = batch_shardings(tb.model, self.mesh)
-                            batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
-                            grads, m = grad_fn(self.params, batch_dev, jnp.asarray(bool(warmup)))
-                            grads_acc = grads if grads_acc is None else add_fn(grads_acc, grads)
-                            for k, v in m.items():
-                                metric_sum[k] = metric_sum.get(k, 0.0) + float(v)
-                        self.params, self.opt_state, gnorm = apply_fn(
-                            self.params, self.opt_state, grads_acc, ga
-                        )
-                        metrics = {k: v / ga for k, v in metric_sum.items()}
-                        metrics["grad_norm"] = float(gnorm)
-                metrics["step_time_s"] = time.perf_counter() - t0
-                self.global_step += 1
-                metrics.update(step=self.global_step, epoch=round(epoch_frac, 4), warmup=bool(warmup))
-                self.metrics_log.append(metrics)
-                if self.global_step % a.logging_steps == 0 and jax.process_index() == 0:
-                    line = json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in metrics.items()})
-                    print(line)
-                    with open(self._metrics_file, "a") as f:
-                        f.write(line + "\n")
-                    if self._wandb is not None:
-                        self._wandb.log(metrics, step=self.global_step)
-                if self.global_step % a.save_steps == 0:
-                    self.save_checkpoint()
+                        grads, m = grad_fn(self.params, batch_dev, jnp.asarray(bool(warmup)))
+                        grads_acc = grads if grads_acc is None else add_fn(grads_acc, grads)
+                        for k, v in m.items():
+                            metric_sum[k] = metric_sum.get(k, 0.0) + float(v)
+                    self.params, self.opt_state, gnorm = apply_fn(
+                        self.params, self.opt_state, grads_acc, ga
+                    )
+                    metrics = {k: v / ga for k, v in metric_sum.items()}
+                    metrics["grad_norm"] = float(gnorm)
+            metrics["step_time_s"] = time.perf_counter() - t0
+            self.global_step += 1
+            metrics.update(step=self.global_step, epoch=round(epoch_frac, 4), warmup=bool(warmup))
+            self.metrics_log.append(metrics)
+            if self.global_step % a.logging_steps == 0 and jax.process_index() == 0:
+                line = json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in metrics.items()})
+                print(line)
+                with open(self._metrics_file, "a") as f:
+                    f.write(line + "\n")
+                if self._wandb is not None:
+                    self._wandb.log(metrics, step=self.global_step)
+            if self.global_step % a.save_steps == 0:
+                self.save_checkpoint()
         self.save_checkpoint()
         return self.metrics_log
 
