@@ -16,6 +16,8 @@ from padt_tpu.preprocess.datasets import (
 )
 
 
+pytestmark = pytest.mark.smoke
+
 def _mk_coco(tmp_path, with_captions=False):
     h, w = 112, 140  # 4 x 5 grid of 28px cells
     seg_mask = np.zeros((h, w), np.uint8)

@@ -28,6 +28,7 @@ def _dt(img, cat, box, score, seg=None):
     return d
 
 
+@pytest.mark.smoke
 def test_box_iou():
     d = np.array([[0, 0, 10, 10]], float)
     g = np.array([[0, 0, 10, 10], [5, 5, 10, 10]], float)
@@ -36,6 +37,7 @@ def test_box_iou():
     assert abs(iou[0, 1] - 25 / 175) < 1e-9
 
 
+@pytest.mark.smoke
 def test_perfect_detections_ap1():
     gts = [_gt(1, 1, (10, 10, 50, 50)), _gt(1, 2, (30, 30, 40, 40)), _gt(2, 1, (0, 0, 20, 20))]
     dts = [_dt(1, 1, (10, 10, 50, 50), 0.9), _dt(1, 2, (30, 30, 40, 40), 0.8), _dt(2, 1, (0, 0, 20, 20), 0.7)]
@@ -45,6 +47,7 @@ def test_perfect_detections_ap1():
     assert abs(stats["AR100"] - 1.0) < 1e-6
 
 
+@pytest.mark.smoke
 def test_missed_and_false_positive():
     gts = [_gt(1, 1, (10, 10, 50, 50)), _gt(1, 1, (100, 100, 50, 50))]
     # one perfect hit (high score), one clean miss + one fp (low score)
@@ -55,6 +58,7 @@ def test_missed_and_false_positive():
     assert abs(stats["AR100"] - 0.5) < 1e-6
 
 
+@pytest.mark.smoke
 def test_iou_threshold_sensitivity():
     gts = [_gt(1, 1, (0, 0, 100, 100))]
     dts = [_dt(1, 1, (0, 0, 100, 60), 0.9)]  # IoU = 0.6
@@ -65,6 +69,7 @@ def test_iou_threshold_sensitivity():
     assert abs(stats["AP"] - 0.3) < 1e-6
 
 
+@pytest.mark.smoke
 def test_crowd_gt_not_penalized():
     gts = [_gt(1, 1, (0, 0, 50, 50)), _gt(1, 1, (60, 0, 1000, 50), area=50000, crowd=1)]
     dts = [
@@ -75,6 +80,7 @@ def test_crowd_gt_not_penalized():
     assert abs(stats["AP"] - 1.0) < 1e-6
 
 
+@pytest.mark.smoke
 def test_segm_iou_type():
     a = np.zeros((50, 50), np.uint8)
     a[10:40, 10:40] = 1
@@ -85,6 +91,7 @@ def test_segm_iou_type():
     assert abs(stats["AP"] - 1.0) < 1e-6
 
 
+@pytest.mark.smoke
 def test_refcoco_scorer():
     m = np.zeros((100, 100), np.uint8)
     m[20:60, 20:60] = 1

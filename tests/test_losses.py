@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from padt_tpu.train import losses as L
 
 
+pytestmark = pytest.mark.smoke
+
 def test_box_conversions_roundtrip():
     b = jnp.asarray([[0.1, 0.2, 0.5, 0.8]])
     np.testing.assert_allclose(

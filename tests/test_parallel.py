@@ -9,6 +9,7 @@ import pytest
 
 
 @pytest.mark.parametrize("n", [8])
+@pytest.mark.smoke
 def test_dryrun_multichip(n):
     env = dict(
         os.environ,

@@ -12,6 +12,8 @@ from padt_tpu.preprocess.vision_process import (
 )
 
 
+pytestmark = pytest.mark.smoke
+
 def _pil_image(h, w, seed=0):
     import PIL.Image
 

@@ -6,6 +6,8 @@ import pytest
 from padt_tpu.eval import rle
 
 
+pytestmark = pytest.mark.smoke
+
 def _random_mask(h, w, seed=0, p=0.3):
     rng = np.random.RandomState(seed)
     # blobby mask: threshold of a blurred random field

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.smoke
 def test_repeat_random_sampler_matches_reference_semantics():
     from padt_tpu.train.trainer import repeat_random_sampler
 

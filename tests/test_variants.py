@@ -113,6 +113,7 @@ def test_vision_chunking_equivalence():
     np.testing.assert_allclose(np.asarray(ref.high_res), np.asarray(out.high_res), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.smoke
 def test_mask_canvas_geometry():
     """Token p's 4x4 block lands at raster cell (p//W, p%W) with correct
     sub-pixel layout (reference masks_padded permute, padt_decoder.py:269-274)."""

@@ -32,6 +32,7 @@ def _fake_image(grid=(1, 8, 12), dim=1176, seed=0):
     return ProcessedImage(rng.randn(n, dim).astype(np.float32), grid)
 
 
+@pytest.mark.smoke
 def test_vrt_token_ids_are_local(processor, cfg):
     processor.ensure_vrt_tokens(24)
     ids = processor.encode(processor.pid2vrt([0, 5, 23]))
@@ -42,6 +43,7 @@ def test_vrt_token_ids_are_local(processor, cfg):
     np.testing.assert_array_equal(processor.assign_to_global_vrt_id(arr), arr)
 
 
+@pytest.mark.smoke
 def test_build_batch_shapes(processor, cfg):
     imgs = [_fake_image((1, 8, 12)), _fake_image((1, 6, 8), seed=1)]
     batch = processor.build_batch(["detect the cat", "detect the dog"], imgs)
@@ -57,6 +59,7 @@ def test_build_batch_shapes(processor, cfg):
     assert d["attention_mask"][0, -1] == 1
 
 
+@pytest.mark.smoke
 def test_build_batch_with_completions(processor, cfg):
     imgs = [_fake_image((1, 8, 12))]
     comp = 'The "cat" is ' + processor.pid2vrt([1, 2]) + "<|im_end|>"
@@ -70,6 +73,7 @@ def test_build_batch_with_completions(processor, cfg):
     assert (ids >= v).sum() == 2  # the two VRT tokens survived round-trip
 
 
+@pytest.mark.smoke
 def test_parser_extracts_objects(processor, cfg):
     v = cfg.text.vocab_size
     text = 'There are 2 "car" (' + processor.pid2vrt([3, 4, 5]) + ", " + processor.pid2vrt([9]) + ').  And one "dog" ' + processor.pid2vrt([7, 8]) + ".<|im_end|>"
@@ -82,6 +86,7 @@ def test_parser_extracts_objects(processor, cfg):
     assert res.completions[0].startswith("There are 2")
 
 
+@pytest.mark.smoke
 def test_parser_thinking_mode(processor, cfg):
     # hand-built stream matching real-BPE granularity: '<','answer','>' triplets
     v = cfg.text.vocab_size
@@ -99,6 +104,7 @@ def test_parser_thinking_mode(processor, cfg):
     assert len(res2.objects_per_sample[0]) == 1
 
 
+@pytest.mark.smoke
 def test_parser_eos_stops(processor, cfg):
     v = cfg.text.vocab_size
     ids = processor.encode('"a" <|im_end|>' + processor.pid2vrt([1]))
@@ -107,6 +113,7 @@ def test_parser_eos_stops(processor, cfg):
     assert res.objects_per_sample[0] == []
 
 
+@pytest.mark.smoke
 def test_pack_and_gather(cfg):
     from padt_tpu.vrt.parser import ParsedObject
 
