@@ -180,6 +180,25 @@ def make_train_step(
     return step
 
 
+def make_eval_step(
+    cfg: PaDTConfig,
+    prompt_length: int,
+    canvas_hw: Tuple[int, int],
+    lcfg: LossConfig = LossConfig(),
+):
+    """Loss-only forward for the in-training validation loop (reference
+    HF Trainer `evaluate()` with `_get_eval_sampler`,
+    `padt_sft_trainer.py:569-577`). No warm-up substitution in eval."""
+
+    def eval_step(params, batch):
+        _, metrics = padt_loss(
+            params, cfg, batch, prompt_length, canvas_hw, lcfg, jnp.asarray(False)
+        )
+        return metrics
+
+    return eval_step
+
+
 def make_grad_and_apply_fns(
     cfg: PaDTConfig,
     optimizer: optax.GradientTransformation,

@@ -74,6 +74,11 @@ class TrainArgs:
     seed: int = 42
     save_steps: int = 100
     logging_steps: int = 1
+    # in-training eval (reference HF eval_strategy/eval_steps,
+    # sft_train.py:85-90 + padt_sft_trainer.py:569-577)
+    eval_strategy: str = "no"  # "no" | "steps"
+    eval_steps: int = 100
+    per_device_eval_batch_size: Optional[int] = None  # defaults to train bs
     output_dir: str = "outputs/padt_sft"
     use_mask_loss: bool = False
     use_bbox_loss: bool = True
@@ -104,18 +109,27 @@ class PaDTTrainer:
         args: TrainArgs,
         dataset: Sequence[Dict],
         images: Optional[Sequence[Any]] = None,  # optional preloaded images by index
+        eval_dataset: Optional[Sequence[Dict]] = None,
+        eval_images: Optional[Sequence[Any]] = None,
     ):
         self.cfg = cfg
         self.args = args
         self.processor = processor
         self.dataset = dataset
         self.images = images
+        self.eval_dataset = eval_dataset
+        self.eval_images = eval_images
         self.mesh = make_mesh(args.mesh_data, args.mesh_fsdp, args.mesh_tensor)
         # NOTE: the trainer takes OWNERSHIP of `params` — train steps donate the
         # buffers (in-place updates), and device_put below may alias rather than
         # copy when the sharding already matches. Don't reuse the argument.
         self.params = shard_params(params, self.mesh)
         n_batches_per_epoch = len(dataset) // (args.per_device_train_batch_size * args.gradient_accumulation_steps)
+        if n_batches_per_epoch == 0:
+            print(
+                f"WARNING: dataset ({len(dataset)} samples) smaller than one "
+                f"effective batch — no train steps will run"
+            )
         self.total_steps = max(int(n_batches_per_epoch * args.num_train_epochs), 1)
         self.optimizer = make_optimizer(
             learning_rate=args.learning_rate,
@@ -182,6 +196,58 @@ class PaDTTrainer:
                 jax.jit(apply_fn, donate_argnums=(0, 1, 2), static_argnums=(3,)),
             )
         return self._step_fn_cache[key]
+
+    def _eval_fn(self, prompt_length: int, canvas_hw: Tuple[int, int]):
+        from .train_step import make_eval_step
+
+        key = ("eval", prompt_length, canvas_hw)
+        if key not in self._step_fn_cache:
+            self._step_fn_cache[key] = jax.jit(
+                make_eval_step(self.cfg, prompt_length, canvas_hw, lcfg=self._lcfg())
+            )
+        return self._step_fn_cache[key]
+
+    # ------------------------------------------------------------------
+    def evaluate(self) -> Dict[str, float]:
+        """Run the loss forward over the validation split (reference
+        `Trainer.evaluate` with the PaDT eval sampler: a seeded shuffle —
+        batch_size=1 chunks make the grad-accum interleave a no-op,
+        `padt_sft_trainer.py:569-577`). Evaluates `len(eval)//bs * bs`
+        samples (full static-shape batches only); metrics stay on device
+        until the final average."""
+        assert self.eval_dataset, "no eval_dataset provided"
+        a = self.args
+        bs = a.per_device_eval_batch_size or a.per_device_train_batch_size
+        order = list(repeat_random_sampler(len(self.eval_dataset), batch_size=1, seed=a.seed))
+        rng = np.random.RandomState(a.seed)
+        metric_sum = None
+        n_batches = 0
+        with self.mesh:
+            for bi in range(0, len(order) // bs * bs, bs):
+                batch_idx = order[bi : bi + bs]
+                samples = [self.eval_dataset[i] for i in batch_idx]
+                imgs = (
+                    [self.eval_images[i] for i in batch_idx]
+                    if self.eval_images is not None
+                    else None
+                )
+                tb = build_train_batch(
+                    samples, self.processor, self.cfg, rng,
+                    images=imgs,
+                    prompt_bucket=a.prompt_bucket,
+                    completion_bucket=a.completion_bucket,
+                    patch_bucket=a.patch_bucket,
+                    canvas_hw=a.canvas_hw,
+                    use_mask_targets=a.use_mask_loss,
+                )
+                b_sh = batch_shardings(tb.model, self.mesh)
+                batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
+                m = self._eval_fn(tb.prompt_length, tb.meta["canvas_hw"])(self.params, batch_dev)
+                metric_sum = m if metric_sum is None else jax.tree.map(jnp.add, metric_sum, m)
+                n_batches += 1
+        if n_batches == 0:
+            return {}
+        return {f"eval_{k}": float(v) / n_batches for k, v in metric_sum.items()}
 
     # ------------------------------------------------------------------
     def train(self, resume: bool = False):
@@ -252,9 +318,11 @@ class PaDTTrainer:
                     )
                     metrics = {k: float(v) for k, v in metrics.items()}
                 else:
-                    # true gradient accumulation (HF Trainer semantics)
+                    # true gradient accumulation (HF Trainer semantics);
+                    # metrics accumulate ON DEVICE — a float() per micro batch
+                    # would force a ~36 ms dispatch+sync round-trip each
                     grads_acc = None
-                    metric_sum: Dict[str, float] = {}
+                    metric_sum = None
                     for tb in micro_batches:
                         grad_fn, add_fn, apply_fn = self._accum_fns(
                             tb.prompt_length, tb.meta["canvas_hw"]
@@ -263,12 +331,11 @@ class PaDTTrainer:
                         batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
                         grads, m = grad_fn(self.params, batch_dev, jnp.asarray(bool(warmup)))
                         grads_acc = grads if grads_acc is None else add_fn(grads_acc, grads)
-                        for k, v in m.items():
-                            metric_sum[k] = metric_sum.get(k, 0.0) + float(v)
+                        metric_sum = m if metric_sum is None else jax.tree.map(jnp.add, metric_sum, m)
                     self.params, self.opt_state, gnorm = apply_fn(
                         self.params, self.opt_state, grads_acc, ga
                     )
-                    metrics = {k: v / ga for k, v in metric_sum.items()}
+                    metrics = {k: float(v) / ga for k, v in metric_sum.items()}
                     metrics["grad_norm"] = float(gnorm)
             metrics["step_time_s"] = time.perf_counter() - t0
             self.global_step += 1
@@ -281,6 +348,21 @@ class PaDTTrainer:
                     f.write(line + "\n")
                 if self._wandb is not None:
                     self._wandb.log(metrics, step=self.global_step)
+            if (
+                a.eval_strategy == "steps"
+                and self.eval_dataset
+                and self.global_step % a.eval_steps == 0
+            ):
+                em = self.evaluate()
+                em["step"] = self.global_step
+                self.metrics_log.append(em)
+                if jax.process_index() == 0:
+                    line = json.dumps({k: (round(v, 5) if isinstance(v, float) else v) for k, v in em.items()})
+                    print(line)
+                    with open(self._metrics_file, "a") as f:
+                        f.write(line + "\n")
+                    if self._wandb is not None:
+                        self._wandb.log(em, step=self.global_step)
             if self.global_step % a.save_steps == 0:
                 self.save_checkpoint()
         self.save_checkpoint()

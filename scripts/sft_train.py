@@ -54,6 +54,8 @@ def parse_args():
     ap.add_argument("--completion_bucket", type=int, default=None)
     ap.add_argument("--patch_bucket", type=int, default=None)
     ap.add_argument("--val_split_ratio", type=float, default=0.0)
+    ap.add_argument("--eval_steps", type=int, default=100)
+    ap.add_argument("--per_device_eval_batch_size", type=int, default=None)
     return ap.parse_args()
 
 
@@ -68,10 +70,18 @@ def main():
         use_mask_head=a.use_mask_loss,
     )
     dataset = load_jsonl_datasets(a.data_file_paths.split(":"), a.image_folders.split(":"))
+    eval_dataset = None
     if a.val_split_ratio > 0:
-        n_val = int(len(dataset) * a.val_split_ratio)
-        dataset = dataset[n_val:]
-    print(f"Loaded {len(dataset)} training samples")
+        # seeded shuffled split (reference dataset.train_test_split,
+        # sft_train.py:85-90); eval runs every --eval_steps
+        import numpy as np
+
+        perm = np.random.RandomState(a.seed).permutation(len(dataset))
+        n_val = max(int(len(dataset) * a.val_split_ratio), 1)
+        eval_dataset = [dataset[i] for i in perm[:n_val]]
+        dataset = [dataset[i] for i in perm[n_val:]]
+    print(f"Loaded {len(dataset)} training samples"
+          + (f", {len(eval_dataset)} validation samples" if eval_dataset else ""))
 
     args = TrainArgs(
         learning_rate=a.learning_rate,
@@ -97,8 +107,11 @@ def main():
         mesh_data=a.mesh_data,
         mesh_fsdp=a.mesh_fsdp,
         mesh_tensor=a.mesh_tensor,
+        eval_strategy="steps" if eval_dataset else "no",
+        eval_steps=a.eval_steps,
+        per_device_eval_batch_size=a.per_device_eval_batch_size,
     )
-    trainer = PaDTTrainer(cfg, params, processor, args, dataset)
+    trainer = PaDTTrainer(cfg, params, processor, args, dataset, eval_dataset=eval_dataset)
     trainer.train(resume=str(a.resume_from_checkpoint).lower() == "true")
 
 

@@ -131,3 +131,41 @@ def test_gradient_accumulation(tiny_setup):
     log = trainer.train()
     assert trainer.global_step == 2  # 4 samples / (1 micro x 2 accum)
     assert all(np.isfinite(m["loss"]) for m in log)
+
+
+def test_in_training_eval(tiny_setup):
+    """eval_strategy='steps': val metrics logged every eval_steps with eval_
+    prefix; evaluate() is loss-only (params unchanged by an eval pass)."""
+    import jax
+
+    from padt_tpu.train.trainer import PaDTTrainer, TrainArgs
+
+    cfg, proc, make_params, dataset, tmp = tiny_setup
+    params = make_params()
+    args = TrainArgs(
+        learning_rate=1e-4,
+        per_device_train_batch_size=1,
+        num_train_epochs=1.0,
+        save_steps=100,
+        eval_strategy="steps",
+        eval_steps=2,
+        output_dir=str(tmp / "out_eval"),
+        prompt_bucket=256,
+        completion_bucket=64,
+        patch_bucket=256,
+        canvas_hw=(8, 8),
+        seed=0,
+    )
+    trainer = PaDTTrainer(
+        cfg, params, proc, args, dataset[:2], eval_dataset=dataset[2:]
+    )
+    before = np.asarray(jax.tree.leaves(trainer.params)[0]).copy()
+    em = trainer.evaluate()
+    assert np.isfinite(em["eval_loss"]) and "eval_sft_loss" in em
+    np.testing.assert_array_equal(before, np.asarray(jax.tree.leaves(trainer.params)[0]))
+
+    log = trainer.train()
+    eval_entries = [m for m in log if "eval_loss" in m]
+    assert len(eval_entries) == 1  # 2 train steps, eval at step 2
+    assert eval_entries[0]["step"] == 2
+    assert np.isfinite(eval_entries[0]["eval_loss"])
