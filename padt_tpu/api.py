@@ -61,9 +61,20 @@ def load_model(
             cfg = PaDTConfig.from_json(f.read())
         if config_overrides:
             cfg = cfg.replace(**config_overrides)
-        params = ocp.StandardCheckpointer().restore(
-            os.path.join(os.path.abspath(model_path), "params")
+        # restore device-agnostically: the saved sharding metadata names the
+        # writer's devices (e.g. TFRT_CPU_0 from a CPU-forced conversion), which
+        # need not exist in this process — restore to shape/dtype targets on the
+        # current default device instead
+        import jax
+
+        ckptr = ocp.StandardCheckpointer()
+        ppath = os.path.join(os.path.abspath(model_path), "params")
+        meta = ckptr.metadata(ppath).item_metadata.tree
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        target = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding), meta
         )
+        params = ckptr.restore(ppath, target=target)
     else:
         cfg, params = load_padt_checkpoint(model_path, dtype=dtype, **config_overrides)
     if use_mask_head is not None:

@@ -80,6 +80,7 @@ def test_native_conversion_roundtrip(hf_ckpt_dir, tmp_path):
         [sys.executable, os.path.join(root, "scripts", "convert_checkpoint.py"),
          "--src", hf_ckpt_dir, "--dst", str(dst), "--dtype", "float32"],
         capture_output=True, text=True, cwd=root, timeout=300,
+        env=dict(os.environ, JAX_PLATFORM_NAME="cpu"),  # don't contend for the TPU chip
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (dst / "padt_config.json").exists()
@@ -90,3 +91,48 @@ def test_native_conversion_roundtrip(hf_ckpt_dir, tmp_path):
     a = jax.tree.leaves(p1["text"])[0]
     b = jax.tree.leaves(p2["text"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_hf_export_roundtrip(hf_ckpt_dir, tmp_path):
+    """padt -> HF -> padt: the exported safetensors checkpoint reloads into a
+    bitwise-identical param tree and config (reference deployable-checkpoint
+    property, zero3.json:32 + sft_train.py:112)."""
+    from padt_tpu.api import load_model
+
+    import jax
+    import jax.numpy as jnp
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = tmp_path / "hf_export"
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "convert_checkpoint.py"),
+         "--to-hf", "--src", hf_ckpt_dir, "--dst", str(dst), "--dtype", "float32"],
+        capture_output=True, text=True, cwd=root, timeout=300,
+        env=dict(os.environ, JAX_PLATFORM_NAME="cpu"),  # don't contend for the TPU chip
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (dst / "config.json").exists()
+    assert any(f.endswith(".safetensors") for f in os.listdir(dst))
+
+    cfg1, p1, _ = load_model(hf_ckpt_dir, dtype=jnp.float32)
+    cfg2, p2, _ = load_model(str(dst), dtype=jnp.float32)
+    assert cfg1 == cfg2
+    assert jax.tree.structure(p1) == jax.tree.structure(p2)
+    # converted subtrees are bitwise; the decoder subtree was RANDOM-initialized
+    # independently in the CLI subprocess (CPU) vs here (possibly TPU) and
+    # jax.random.normal is not bit-identical across backends — compare it via
+    # the in-process round trip below instead
+    for sub in ("vision", "text"):
+        for a, b in zip(jax.tree.leaves(p1[sub]), jax.tree.leaves(p2[sub])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # in-process padt -> HF -> padt: full tree bitwise (incl. decoder)
+    from padt_tpu.convert.padt_to_hf import save_hf_checkpoint
+
+    dst2 = tmp_path / "hf_export2"
+    save_hf_checkpoint(str(dst2), p1, cfg1, dtype="float32")
+    cfg3, p3, _ = load_model(str(dst2), dtype=jnp.float32)
+    assert cfg1 == cfg3
+    assert jax.tree.structure(p1) == jax.tree.structure(p3)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
