@@ -9,6 +9,14 @@ pred_box.png / mask_seg.png / vrt_seg.png into --output_dir.
 Usage:
   python scripts/demo.py --model /path/to/PaDT_Pro_3B --image img.jpg \
       --prompt 'Please carefully check the image and detect the object this sentence describes: "The car is on the left side of the horse".'
+
+Golden regression gate (--check-golden): with the released PaDT_Pro_3B
+weights staged locally (see README "Real-checkpoint regression") and the
+reference demo image (COCO 000000368335.jpg), asserts the generated VRT
+sequence matches the reference's golden output
+(`eval/outputs/demo/completion.txt:7`: VRT 122,107,138,256,135) plus
+box/score/mask sanity. Exits 0 on PASS, 1 on FAIL — a one-command
+real-weights parity check.
 """
 
 import argparse
@@ -19,6 +27,40 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+# reference golden output for the demo image + REC prompt
+# (/root/reference/eval/outputs/demo/completion.txt:7)
+GOLDEN_VRTS = "122,107,138,256,135"
+
+
+def check_golden(completion, objects, image_wh, golden_vrts=GOLDEN_VRTS):
+    """Returns a list of failure strings (empty == PASS).
+
+    Checks: the exact golden VRT token run appears in the completion; at
+    least one object parsed; its box is a sane in-image rectangle with a
+    finite score; the mask (when present) is non-empty."""
+    fails = []
+    seq = "".join(f"<|VRT_{i.strip()}|>" for i in golden_vrts.split(",") if i.strip())
+    if seq and seq not in completion:
+        fails.append(f"golden VRT sequence {seq} not in completion: {completion!r}")
+    if not objects:
+        fails.append("no objects parsed from completion")
+        return fails
+    w_img, h_img = image_wh
+    for obj in objects:
+        x, y, w, h = obj.bbox_xywh_px
+        if not (np.isfinite([x, y, w, h]).all() and w > 0 and h > 0):
+            fails.append(f"degenerate box {obj.bbox_xywh_px}")
+        elif not (-1 <= x <= w_img and -1 <= y <= h_img and x + w <= w_img + 1 and y + h <= h_img + 1):
+            fails.append(f"box {obj.bbox_xywh_px} outside image {image_wh}")
+        if not np.isfinite(obj.score):
+            fails.append(f"non-finite score {obj.score}")
+        if obj.mask_rle is not None:
+            from padt_tpu.eval import rle as rle_codec
+
+            if rle_codec.decode(obj.mask_rle).sum() == 0:
+                fails.append("empty mask")
+    return fails
 
 
 def main():
@@ -32,6 +74,10 @@ def main():
     ap.add_argument("--output_dir", default="outputs/demo")
     ap.add_argument("--max_new_tokens", type=int, default=1024)
     ap.add_argument("--max_side", type=int, default=644)
+    ap.add_argument("--check-golden", dest="check_golden", action="store_true",
+                    help="assert the golden VRT sequence + box/mask sanity; exit 1 on mismatch")
+    ap.add_argument("--golden_vrts", default=GOLDEN_VRTS,
+                    help="comma-separated expected VRT patch ids (empty = sanity checks only)")
     args = ap.parse_args()
 
     import cv2
@@ -55,6 +101,14 @@ def main():
         f.write("Prompt: " + args.prompt + "\n")
         f.write("Completion: " + res.completion + "\n")
     print("Completion:", res.completion)
+
+    if args.check_golden:
+        fails = check_golden(res.completion, res.objects, img.size, args.golden_vrts)
+        if fails:
+            for msg in fails:
+                print("GOLDEN FAIL:", msg)
+            sys.exit(1)
+        print("GOLDEN PASS:", len(res.objects), "object(s), VRTs match")
 
     # --- draw (test_demo.py:116-176) ---
     im = cv2.cvtColor(np.asarray(img), cv2.COLOR_RGB2BGR)

@@ -1,5 +1,6 @@
 """Evaluator tests: COCO mAP known cases, RefCOCO scorer, harness e2e (tiny)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -149,3 +150,33 @@ def test_harness_end_to_end_tiny(tmp_path):
 
     row = json.loads(comps[0])
     assert row["image_id"] == 7 and isinstance(row["completion"], str)
+
+
+@pytest.mark.smoke
+def test_check_golden_gate():
+    """scripts/demo.py --check-golden logic: pass/fail branches."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location("demo", os.path.join(root, "scripts", "demo.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    class Obj:
+        bbox_xywh_px = (10.0, 10.0, 50.0, 40.0)
+        score = 0.9
+        mask_rle = None
+
+    good = 'The "car" refers to <|VRT_122|><|VRT_107|><|VRT_138|><|VRT_256|><|VRT_135|> here.'
+    assert demo.check_golden(good, [Obj()], (100, 100)) == []
+    # wrong sequence
+    fails = demo.check_golden(good.replace("256", "257"), [Obj()], (100, 100))
+    assert any("golden VRT sequence" in f for f in fails)
+    # no objects
+    assert any("no objects" in f for f in demo.check_golden(good, [], (100, 100)))
+    # degenerate box
+    class Bad(Obj):
+        bbox_xywh_px = (10.0, 10.0, -5.0, 40.0)
+    assert any("degenerate" in f for f in demo.check_golden(good, [Bad()], (100, 100)))
+    # sanity-only mode (empty golden_vrts)
+    assert demo.check_golden("no vrts at all", [Obj()], (100, 100), golden_vrts="") == []
