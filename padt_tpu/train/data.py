@@ -40,8 +40,17 @@ def load_jsonl_datasets(data_files: Sequence[str], image_folders: Sequence[str])
     assert len(data_files) == len(image_folders), "data files must match image folders"
     samples = []
     for data_file, folder in zip(data_files, image_folders):
-        with open(data_file) as f:
-            rows = [json.loads(line) for line in f if line.strip()]
+        if os.path.exists(data_file):
+            with open(data_file) as f:
+                rows = [json.loads(line) for line in f if line.strip()]
+        else:
+            # HF-hub fallback (reference sft_train.py:33-44): treat the path
+            # as <repo_id>/<file> and pull via datasets. Requires network;
+            # gated behind the import so offline local-JSONL use never pays it.
+            from datasets import load_dataset
+
+            repo, fname = os.path.dirname(data_file), os.path.basename(data_file)
+            rows = load_dataset(repo, data_files=fname)["train"].to_list()
         for item in rows:
             image = item.get("image")
             if isinstance(image, str):

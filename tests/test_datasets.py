@@ -133,3 +133,32 @@ def test_train_batch_from_processed(tmp_path):
     # gt mask canvas has content for the segmented object
     assert d["gt_mask"][0].sum() > 0
     assert d["gt_mask_valid"][0].sum() > 0
+
+
+def test_load_jsonl_hub_fallback(tmp_path, monkeypatch):
+    """Nonexistent local path routes to datasets.load_dataset(repo, data_files=...)
+    (reference sft_train.py:33-44)."""
+    import sys
+    import types
+
+    from padt_tpu.train import data as D
+
+    captured = {}
+
+    class FakeSplit:
+        def to_list(self):
+            return [{
+                "id": 1, "image": "im.jpg",
+                "conversations": [{"from": "human", "value": "<image>find"}],
+                "answer_template": "t", "objects": [],
+            }]
+
+    def fake_load_dataset(repo, data_files=None):
+        captured["repo"], captured["file"] = repo, data_files
+        return {"train": FakeSplit()}
+
+    monkeypatch.setitem(sys.modules, "datasets", types.SimpleNamespace(load_dataset=fake_load_dataset))
+    out = D.load_jsonl_datasets(["someorg/somerepo/train.jsonl"], [str(tmp_path)])
+    assert captured == {"repo": "someorg/somerepo", "file": "train.jsonl"}
+    assert out[0]["problem"] == "find"
+    assert out[0]["image_path"] == [str(tmp_path / "im.jpg")]
