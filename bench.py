@@ -86,8 +86,15 @@ def main(batch=None):
     )
     deltas = jnp.asarray(deltas)
 
+    # int8 KV cache is the default serving config (1.21x at batch 96; parity
+    # within int8 noise, tests/test_kv_cache.py). PADT_BENCH_KV=bf16 for exact.
+    kv_dtype = os.environ.get("PADT_BENCH_KV", "int8")
+
     def run(n_new):
-        f = jax.jit(lambda p, b, d: P.generate(p, cfg, b, n_new, d), static_argnums=())
+        f = jax.jit(
+            lambda p, b, d: P.generate(p, cfg, b, n_new, d, kv_cache_dtype=kv_dtype),
+            static_argnums=(),
+        )
         out = f(params, batch, deltas)
         _ = np.asarray(out.tokens)  # compile + warm (host readback = real sync;
         # block_until_ready does not synchronize on the axon tunnel backend)
@@ -136,6 +143,7 @@ def main(batch=None):
             "t_prefill_plus_short_s": round(t_short, 3),
             "t_long_s": round(t_long, 3),
             "backend": jax.default_backend(),
+            "kv_cache_dtype": kv_dtype,
         },
     }
     print(json.dumps(result))

@@ -34,6 +34,28 @@ class KVCache(NamedTuple):
     length: jnp.ndarray  # () int32 — high-water mark (same for all samples)
 
 
+class QuantKVCache(NamedTuple):
+    """Int8 KV cache (serving): per-token/per-kv-head symmetric quantization,
+    dequant fused into the Pallas decode kernel (ops/kv_cache.py). Layout puts
+    C next to hd so per-(sample, head) slices are contiguous kernel tiles."""
+
+    k: jnp.ndarray  # (layers, B, Hkv, C, hd) int8
+    k_scale: jnp.ndarray  # (layers, B, Hkv, C) f32
+    v: jnp.ndarray
+    v_scale: jnp.ndarray
+    valid: jnp.ndarray  # (B, C) bool
+    length: jnp.ndarray  # () int32
+
+
+def quantize_cache(cache: KVCache) -> QuantKVCache:
+    """bf16 cache (e.g. fresh from prefill) -> int8 cache."""
+    from ..ops.kv_cache import quantize_kv
+
+    k8, ks = quantize_kv(cache.k.transpose(0, 1, 3, 2, 4))
+    v8, vs = quantize_kv(cache.v.transpose(0, 1, 3, 2, 4))
+    return QuantKVCache(k=k8, k_scale=ks, v=v8, v_scale=vs, valid=cache.valid, length=cache.length)
+
+
 def init_cache(cfg: TextConfig, batch: int, capacity: int, dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.num_hidden_layers, batch, capacity, cfg.num_key_value_heads, cfg.head_dim)
     return KVCache(
@@ -165,9 +187,11 @@ def decode_step(
     cfg: TextConfig,
     inputs_embeds: jnp.ndarray,  # (B, 1, D)
     position_ids: jnp.ndarray,  # (3, B, 1)
-    cache: KVCache,
-) -> Tuple[jnp.ndarray, KVCache]:
+    cache,  # KVCache | QuantKVCache
+):
     """One decode step; writes the new KV at slot `cache.length`."""
+    if isinstance(cache, QuantKVCache):
+        return _decode_step_int8(params, cfg, inputs_embeds, position_ids, cache)
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
     pos = cache.length
     new_valid = cache.valid.at[:, pos].set(True)
@@ -187,3 +211,36 @@ def decode_step(
     x, (k_new, v_new) = jax.lax.scan(body, inputs_embeds, (params["layers"], cache.k, cache.v))
     hidden = rms_norm(x, params["final_ln_w"], cfg.rms_norm_eps)
     return hidden, KVCache(k=k_new, v=v_new, valid=new_valid, length=pos + 1)
+
+
+def _decode_step_int8(params, cfg: TextConfig, inputs_embeds, position_ids, cache: QuantKVCache):
+    from ..ops.kv_cache import decode_attention_int8, quantize_kv
+
+    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    pos = cache.length
+    new_valid = cache.valid.at[:, pos].set(True)
+
+    def body(x, layer):
+        lp, k8, ks, v8, vs = layer
+        xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
+        q, k, v = _qkv(xn, lp, cfg, cos, sin)
+        # quantize the new token's K/V and splice at slot `pos`
+        k8_new, ks_new = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, 1, hd)
+        v8_new, vs_new = quantize_kv(v.transpose(0, 2, 1, 3))
+        k8 = jax.lax.dynamic_update_slice_in_dim(k8, k8_new, pos, axis=2)
+        ks = jax.lax.dynamic_update_slice_in_dim(ks, ks_new, pos, axis=2)
+        v8 = jax.lax.dynamic_update_slice_in_dim(v8, v8_new, pos, axis=2)
+        vs = jax.lax.dynamic_update_slice_in_dim(vs, vs_new, pos, axis=2)
+        attn = decode_attention_int8(q, k8, ks, v8, vs, new_valid)
+        x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
+        xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
+        x = x + _mlp(xn, lp)
+        return x, (k8, ks, v8, vs)
+
+    x, (k8, ks, v8, vs) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale)
+    )
+    hidden = rms_norm(x, params["final_ln_w"], cfg.rms_norm_eps)
+    return hidden, QuantKVCache(
+        k=k8, k_scale=ks, v=v8, v_scale=vs, valid=new_valid, length=pos + 1
+    )

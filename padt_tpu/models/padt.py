@@ -241,14 +241,22 @@ def generate(
     top_p: Optional[float] = None,
     rng: Optional[jax.Array] = None,
     eos_token_id: Optional[int] = None,
+    kv_cache_dtype: str = "bf16",
 ) -> GenerateOutput:
     """Greedy/sampled generation. Everything device-resident; per-token cost is
     one fused decode step (the hot loop the reference runs through HF
-    `_sample_vision_token`, one Python iteration + kwargs shuttling per token)."""
+    `_sample_vision_token`, one Python iteration + kwargs shuttling per token).
+
+    kv_cache_dtype="int8": per-token int8 KV cache with dequant fused into the
+    Pallas decode kernel (ops/kv_cache.py) — halves the dominant decode HBM
+    stream at large batch. Capacity is rounded up to a 128 multiple (kernel
+    lane alignment)."""
     eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
     tcfg = cfg.text
     b, l = batch["input_ids"].shape
     capacity = l + max_new_tokens
+    if kv_cache_dtype == "int8":
+        capacity = -(-capacity // 128) * 128
     dtype = params["text"]["embed"].dtype
 
     art = run_vision(params, cfg, batch)
@@ -257,6 +265,10 @@ def generate(
     hidden, cache = language.prefill(
         params["text"], tcfg, embeds, batch["position_ids"], valid, capacity
     )
+    if kv_cache_dtype == "int8":
+        cache = language.quantize_cache(cache)
+    elif kv_cache_dtype != "bf16":
+        raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
     last_hidden = hidden[:, -1:, :]  # (B,1,D) — predicts the first new token
 
     if rng is None:

@@ -1,0 +1,121 @@
+"""Int8 KV cache: quantizer bounds, Pallas kernel vs XLA oracle, and
+end-to-end decode parity against the bf16 cache."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from padt_tpu.ops import kv_cache as KV
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.mark.smoke
+def test_quantize_kv_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 5, 7, 128) * rng.lognormal(size=(3, 5, 7, 1)), jnp.float32)
+    q, s = KV.quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (3, 5, 7)
+    deq = q.astype(jnp.float32) * s[..., None]
+    err = np.abs(np.asarray(deq - x))
+    # symmetric per-token quant: error bounded by half a quantization step
+    bound = np.asarray(s)[..., None] * 0.5 + 1e-6
+    assert (err <= bound).all()
+
+
+def _int8_inputs(b=2, hkv=2, g=8, hd=128, c=256, seed=3):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, hkv, g, hd), jnp.bfloat16)
+    k8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, c)), jnp.float32)
+    valid = np.ones((b, c), bool)
+    valid[0, :17] = False  # left padding
+    valid[:, c // 2 :] = False  # unwritten tail
+    return q, k8, ks, v8, vs, jnp.asarray(valid)
+
+
+@pytest.mark.smoke
+def test_int8_kernel_matches_xla_oracle():
+    q, k8, ks, v8, vs, valid = _int8_inputs()
+    ref = KV._decode_attention_int8_xla(q, k8, ks, v8, vs, valid)
+    if ON_TPU:
+        out = KV._decode_attention_int8_pallas(q, k8, ks, v8, vs, valid.astype(jnp.int32))
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = KV._decode_attention_int8_pallas(q, k8, ks, v8, vs, valid.astype(jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+@pytest.mark.smoke
+def test_int8_decode_step_close_to_bf16():
+    """One decode step over an int8-quantized cache stays within int8 noise of
+    the bf16-cache step (hidden-state relative error)."""
+    from padt_tpu.config import padt_tiny
+    from padt_tpu.models import language as L
+
+    cfg = padt_tiny().text
+    params = L.init_text_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(1)
+    b, l, cap = 2, 24, 128
+    embeds = jnp.asarray(rng.randn(b, l, cfg.hidden_size) * 0.1, jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(l)[None, None], (3, b, l)).astype(jnp.int32)
+    valid = np.ones((b, l), bool)
+    valid[0, :5] = False
+    hidden, cache = L.prefill(params, cfg, embeds, pos, jnp.asarray(valid), cap)
+    qcache = L.quantize_cache(cache)
+
+    step_emb = jnp.asarray(rng.randn(b, 1, cfg.hidden_size) * 0.1, jnp.float32)
+    pos1 = jnp.full((3, b, 1), l, jnp.int32)
+    h_bf16, cache2 = L.decode_step(params, cfg, step_emb, pos1, cache)
+    h_int8, qcache2 = L.decode_step(params, cfg, step_emb, pos1, qcache)
+
+    a, c = np.asarray(h_bf16, np.float32), np.asarray(h_int8, np.float32)
+    rel = np.abs(a - c).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.05, f"int8 cache diverged: rel={rel}"
+    # cache bookkeeping advanced identically
+    assert int(qcache2.length) == int(cache2.length) == l + 1
+    np.testing.assert_array_equal(np.asarray(qcache2.valid), np.asarray(cache2.valid))
+    # the freshly written slot dequantizes back to the bf16 slot within a step
+    k_new_bf16 = np.asarray(cache2.k[:, :, l], np.float32)  # (layers, B, Hkv, hd)
+    k_new_int8 = (
+        np.asarray(qcache2.k[:, :, :, l], np.float32)
+        * np.asarray(qcache2.k_scale[:, :, :, l])[..., None]
+    )
+    np.testing.assert_allclose(k_new_int8, k_new_bf16.transpose(0, 1, 2, 3), atol=np.abs(k_new_bf16).max() / 100)
+
+
+def test_int8_generate_runs_tiny():
+    """Full generate() with kv_cache_dtype='int8' on the tiny model: correct
+    shapes, finite outputs, EOS bookkeeping intact."""
+    from padt_tpu.config import padt_tiny
+    from padt_tpu.models import padt as P
+    from padt_tpu.preprocess.vision_process import ProcessedImage
+    from padt_tpu.utils.mock_tokenizer import make_tiny_tokenizer
+    from padt_tpu.vrt.processor import VisionTextProcessor
+
+    cfg = padt_tiny()
+    tok = make_tiny_tokenizer(cfg)
+    proc = VisionTextProcessor(tok, cfg, seq_bucket=32, patch_bucket=128)
+    proc.prepare(cfg.text.vocab_size)
+    rng = np.random.RandomState(0)
+    img = ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12))
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch = proc.build_batch(["detect the cat"], [img])
+    jb = {k: jnp.asarray(v) for k, v in batch.data.items()}
+    out = P.generate(
+        params, cfg, jb, max_new_tokens=6, rope_deltas=jnp.asarray(batch.rope_deltas),
+        kv_cache_dtype="int8",
+    )
+    assert out.tokens.shape == (1, 6)
+    assert np.isfinite(np.asarray(out.hidden, np.float32)).all()
+    assert (np.asarray(out.tokens) >= 0).all()
