@@ -1,0 +1,14 @@
+"""Continuous-batching serving (slot-recycled decode pool)."""
+
+from .engine import (  # noqa: F401
+    Completion,
+    DecodeState,
+    PrefillPack,
+    Request,
+    ServeEngine,
+    ServeStats,
+    decode_chunk,
+    init_state,
+    insert,
+    prefill,
+)

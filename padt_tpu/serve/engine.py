@@ -1,0 +1,422 @@
+"""Continuous-batching serve engine: slot-recycled decode over a shared batch.
+
+The reference serves eval workloads with fixed batches (`inference_coco.py:107`,
+batch 16/32): every sequence in a batch steps until the LONGEST one finishes,
+so a single OVD straggler (hundreds of tokens) keeps finished REC slots
+(~25 tokens) burning decode steps. This module is that hot path done TPU-right:
+
+  - a fixed pool of B decode slots (static shapes, one compiled step),
+  - per-slot cache write positions / rope positions / budgets,
+  - finished slots are harvested and REFILLED from a request queue while the
+    rest of the pool keeps decoding (JetStream-style prefill->insert->decode
+    split, adapted to PaDT's extended-vocab decode loop),
+  - prefill runs in fixed-size buckets (own compile) and is spliced into the
+    int8 KV cache with `insert`.
+
+Decode state is int8-KV only (the serving configuration measured fastest in
+BASELINE.md); the decode step reuses `ops.kv_cache.decode_attention_int8`,
+whose per-sample `valid` mask already expresses ragged per-slot lengths.
+
+Greedy decoding (the reference eval path, `utils.py:233-236`).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PaDTConfig
+from ..models import language
+from ..models import padt as padt_model
+from ..ops.kv_cache import decode_attention_int8, quantize_kv
+from ..ops.norms import rms_norm
+from ..ops.quant import linear as qlinear
+from ..ops.rope import mrope_cos_sin
+
+
+class DecodeState(NamedTuple):
+    """Per-slot decode pool. Leading dim of every leaf = n_slots."""
+
+    k8: jnp.ndarray  # (L, B, Hkv, C, hd) int8
+    ks: jnp.ndarray  # (L, B, Hkv, C) f32
+    v8: jnp.ndarray
+    vs: jnp.ndarray
+    valid: jnp.ndarray  # (B, C) bool — live cache slots
+    write_pos: jnp.ndarray  # (B,) int32 — next cache slot to write
+    text_pos: jnp.ndarray  # (B,) int32 — next rope position (all 3 streams equal past prompt)
+    cur_hidden: jnp.ndarray  # (B, 1, D) — hidden that predicts the next token
+    proto: jnp.ndarray  # (B, M, D) — per-slot VRT prototype table
+    num_merged: jnp.ndarray  # (B,)
+    tokens: jnp.ndarray  # (B, T) int32 — generated tokens
+    hidden_out: jnp.ndarray  # (B, T, D) — hidden that produced each token (vl_decode input)
+    n_gen: jnp.ndarray  # (B,) int32
+    budget: jnp.ndarray  # (B,) int32 — per-request max_new_tokens
+    active: jnp.ndarray  # (B,) bool
+
+
+class PrefillPack(NamedTuple):
+    """Everything `insert` needs to splice R prefilled requests into slots."""
+
+    k8: jnp.ndarray  # (L, R, Hkv, C, hd)
+    ks: jnp.ndarray
+    v8: jnp.ndarray
+    vs: jnp.ndarray
+    valid: jnp.ndarray  # (R, C)
+    write_pos: jnp.ndarray  # (R,)
+    text_pos: jnp.ndarray  # (R,)
+    cur_hidden: jnp.ndarray  # (R, 1, D)
+    proto: jnp.ndarray  # (R, M, D)
+    num_merged: jnp.ndarray  # (R,)
+
+
+def init_state(
+    cfg: PaDTConfig,
+    n_slots: int,
+    capacity: int,
+    max_new_tokens: int,
+    dtype=jnp.bfloat16,
+    patch_bucket: Optional[int] = None,
+) -> DecodeState:
+    t = cfg.text
+    L, hkv, hd, d = t.num_hidden_layers, t.num_key_value_heads, t.head_dim, t.hidden_size
+    m = (patch_bucket or cfg.max_image_patches) // cfg.vision.spatial_merge_unit
+    return DecodeState(
+        k8=jnp.zeros((L, n_slots, hkv, capacity, hd), jnp.int8),
+        ks=jnp.zeros((L, n_slots, hkv, capacity), jnp.float32),
+        v8=jnp.zeros((L, n_slots, hkv, capacity, hd), jnp.int8),
+        vs=jnp.zeros((L, n_slots, hkv, capacity), jnp.float32),
+        valid=jnp.zeros((n_slots, capacity), bool),
+        write_pos=jnp.zeros((n_slots,), jnp.int32),
+        text_pos=jnp.zeros((n_slots,), jnp.int32),
+        cur_hidden=jnp.zeros((n_slots, 1, d), dtype),
+        proto=jnp.zeros((n_slots, m, d), dtype),
+        num_merged=jnp.zeros((n_slots,), jnp.int32),
+        tokens=jnp.full((n_slots, max_new_tokens), cfg.pad_token_id, jnp.int32),
+        hidden_out=jnp.zeros((n_slots, max_new_tokens, d), dtype),
+        n_gen=jnp.zeros((n_slots,), jnp.int32),
+        budget=jnp.zeros((n_slots,), jnp.int32),
+        active=jnp.zeros((n_slots,), bool),
+    )
+
+
+def prefill(
+    params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], rope_deltas: jnp.ndarray, capacity: int
+) -> PrefillPack:
+    """Vision + causal prefill for a request bucket -> insertable pack."""
+    l = batch["input_ids"].shape[1]
+    art = padt_model.run_vision(params, cfg, batch)
+    embeds = padt_model.extended_embed(params, cfg, batch["input_ids"], art.proto, art.merged)
+    valid = batch["attention_mask"].astype(bool)
+    hidden, cache = language.prefill(
+        params["text"], cfg.text, embeds, batch["position_ids"], valid, capacity
+    )
+    qc = language.quantize_cache(cache)
+    r = batch["input_ids"].shape[0]
+    return PrefillPack(
+        k8=qc.k,
+        ks=qc.k_scale,
+        v8=qc.v,
+        vs=qc.v_scale,
+        valid=qc.valid,
+        write_pos=jnp.full((r,), l, jnp.int32),
+        text_pos=(l + rope_deltas).astype(jnp.int32),
+        cur_hidden=hidden[:, -1:, :],
+        proto=art.proto,
+        num_merged=art.num_merged.astype(jnp.int32),
+    )
+
+
+def insert(
+    state: DecodeState,
+    pack: PrefillPack,
+    slots: jnp.ndarray,  # (R,) int32
+    budgets: jnp.ndarray,  # (R,) int32; <=0 marks a padding request (slot stays idle)
+) -> DecodeState:
+    """Splice R prefilled requests into the given slots (scatter per leaf).
+
+    tokens/hidden_out rows are NOT reset: the harvest path reads only
+    [:n_gen], all of which the incoming occupant rewrites."""
+    live = budgets > 0
+    return state._replace(
+        k8=state.k8.at[:, slots].set(pack.k8),
+        ks=state.ks.at[:, slots].set(pack.ks),
+        v8=state.v8.at[:, slots].set(pack.v8),
+        vs=state.vs.at[:, slots].set(pack.vs),
+        valid=state.valid.at[slots].set(pack.valid),
+        write_pos=state.write_pos.at[slots].set(pack.write_pos),
+        text_pos=state.text_pos.at[slots].set(pack.text_pos),
+        cur_hidden=state.cur_hidden.at[slots].set(pack.cur_hidden),
+        proto=state.proto.at[slots].set(pack.proto),
+        num_merged=state.num_merged.at[slots].set(pack.num_merged),
+        n_gen=state.n_gen.at[slots].set(0),
+        budget=state.budget.at[slots].set(budgets),
+        active=state.active.at[slots].set(live),
+    )
+
+
+def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
+    """One decode step over the slot pool with PER-SLOT cache positions.
+
+    Same math as `language._decode_step_int8` but the scalar cache length
+    becomes `state.write_pos (B,)`: the new token's K/V is scattered at each
+    slot's own position (vmapped dynamic_update_slice -> one XLA scatter)."""
+    b = inputs_embeds.shape[0]
+    pos3 = jnp.broadcast_to(state.text_pos[None, :, None], (3, b, 1))
+    cos, sin = mrope_cos_sin(pos3, tcfg.head_dim, tcfg.mrope_section, tcfg.rope_theta)
+    # activate each ACTIVE slot's write position (inactive slots keep theirs)
+    rows = jnp.arange(b)
+    cur = state.valid[rows, state.write_pos]
+    new_valid = state.valid.at[rows, state.write_pos].set(cur | state.active)
+
+    upd = jax.vmap(  # (B, Hkv, C, hd), (B, Hkv, 1, hd), (B,) -> scatter at [b, :, p, :]
+        lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0)), (0, 0, 0), 0
+    )
+    upd_s = jax.vmap(
+        lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p)), (0, 0, 0), 0
+    )
+
+    def body(x, layer):
+        lp, k8, ks, v8, vs = layer
+        xn = rms_norm(x, lp["input_ln_w"], tcfg.rms_norm_eps)
+        q, k, v = language._qkv(xn, lp, tcfg, cos, sin)
+        k8n, ksn = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, 1, hd)
+        v8n, vsn = quantize_kv(v.transpose(0, 2, 1, 3))
+        k8 = upd(k8, k8n, state.write_pos)
+        ks = upd_s(ks, ksn, state.write_pos)
+        v8 = upd(v8, v8n, state.write_pos)
+        vs = upd_s(vs, vsn, state.write_pos)
+        attn = decode_attention_int8(q, k8, ks, v8, vs, new_valid)
+        x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
+        xn = rms_norm(x, lp["post_ln_w"], tcfg.rms_norm_eps)
+        x = x + language._mlp(xn, lp)
+        return x, (k8, ks, v8, vs)
+
+    x, (k8, ks, v8, vs) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], state.k8, state.ks, state.v8, state.vs)
+    )
+    hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
+    return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
+
+
+def decode_chunk(params, cfg: PaDTConfig, state: DecodeState, n_steps: int) -> DecodeState:
+    """Advance every active slot `n_steps` tokens (one fused device program).
+
+    Token selection mirrors `padt.generate`'s greedy branch: extended logits
+    over each slot's own prototype table. Early-exits when the pool drains."""
+    eos = cfg.eos_token_id
+    b, t_cap = state.tokens.shape
+
+    def cond(carry):
+        i, st = carry
+        return (i < n_steps) & jnp.any(st.active)
+
+    def body(carry):
+        i, st = carry
+        logits = padt_model.extended_logits(
+            params, cfg, st.cur_hidden, st.proto, st.num_merged
+        )[:, 0]
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(st.active, tok, cfg.pad_token_id)
+        idx = jnp.clip(st.n_gen, 0, t_cap - 1)
+        rows = jnp.arange(b)
+        tokens = st.tokens.at[rows, idx].set(jnp.where(st.active, tok, st.tokens[rows, idx]))
+        hid = jnp.where(st.active[:, None], st.cur_hidden[:, 0], st.hidden_out[rows, idx])
+        hidden_out = st.hidden_out.at[rows, idx].set(hid)
+        n_gen = st.n_gen + st.active.astype(jnp.int32)
+        active = st.active & (tok != eos) & (n_gen < st.budget)
+        # next-step forward (runs for the whole pool; inactive slots' writes are
+        # masked by `active` through valid/write_pos bookkeeping)
+        emb = padt_model.extended_embed(params, cfg, tok[:, None], st.proto)
+        st = st._replace(tokens=tokens, hidden_out=hidden_out, n_gen=n_gen)
+        new_hidden, st = _decode_step_slots(params["text"], cfg.text, emb, st)
+        st = st._replace(
+            cur_hidden=new_hidden,
+            write_pos=st.write_pos + st.active.astype(jnp.int32),
+            text_pos=st.text_pos + st.active.astype(jnp.int32),
+            active=active,
+        )
+        return i + 1, st
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), state))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side engine: request queue -> slot scheduling -> results
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Request:
+    """A preprocessed single request. `batch` leaves have leading dim 1 and the
+    same bucket shapes for every request handed to one engine."""
+
+    batch: Dict[str, np.ndarray]
+    rope_delta: int
+    max_new_tokens: int
+    uid: Any = None
+
+
+@dataclass
+class Completion:
+    uid: Any
+    tokens: np.ndarray  # (n_gen,) int32
+    n_gen: int
+    hidden: Optional[jnp.ndarray] = None  # (T, D) device array (collect_hidden=True)
+
+
+@dataclass
+class ServeStats:
+    wall_s: float = 0.0
+    prefill_s: float = 0.0
+    decode_s: float = 0.0
+    generated_tokens: int = 0
+    decode_steps: int = 0
+    completions: int = 0
+    slot_step_utilization: float = 0.0  # generated / (steps * slots)
+
+    def tokens_per_sec(self) -> float:
+        return self.generated_tokens / self.wall_s if self.wall_s > 0 else 0.0
+
+
+class ServeEngine:
+    """Host scheduler around the jitted prefill / insert / decode_chunk ops.
+
+    - `n_slots` decode slots share one int8 KV pool;
+    - prefill compiles once per (bucket, prompt-shape); refills happen whenever
+      >= `prefill_bucket` slots are free and requests are queued (queue is
+      padded with budget-0 dummies to keep the bucket shape static);
+    - decode advances in fused chunks of `chunk_steps`; the only host<->device
+      traffic per chunk is the (B,) active/n_gen flag readback.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: PaDTConfig,
+        n_slots: int,
+        max_new_tokens: int,
+        prompt_len: int,
+        prefill_bucket: int = 16,
+        chunk_steps: int = 16,
+        collect_hidden: bool = False,
+        patch_bucket: Optional[int] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_new_tokens = max_new_tokens
+        self.prefill_bucket = min(prefill_bucket, n_slots)
+        self.chunk_steps = chunk_steps
+        self.collect_hidden = collect_hidden
+        cap = prompt_len + max_new_tokens
+        self.capacity = -(-cap // 128) * 128
+        dtype = jax.tree.leaves(params)[0].dtype
+        self.state = init_state(
+            cfg, n_slots, self.capacity, max_new_tokens, dtype, patch_bucket=patch_bucket
+        )
+
+        c = self.cfg
+        capi = self.capacity
+        self._prefill = jax.jit(lambda p, b, d: prefill(p, c, b, d, capi))
+        self._insert = jax.jit(insert, donate_argnums=(0,))
+        nsteps = self.chunk_steps
+        self._chunk = jax.jit(
+            lambda p, st: decode_chunk(p, c, st, nsteps), donate_argnums=(1,)
+        )
+
+    def _make_bucket(self, reqs: List[Request]) -> Tuple[Dict, jnp.ndarray, np.ndarray]:
+        r = self.prefill_bucket
+        pad = r - len(reqs)
+        stack = {}
+        for k in reqs[0].batch:
+            rows = [q.batch[k] for q in reqs] + [reqs[0].batch[k]] * pad
+            shapes = {tuple(x.shape) for x in rows}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"request leaf {k!r} has mixed shapes {shapes}: all requests "
+                    "handed to one ServeEngine must share prompt/patch buckets "
+                    "(build them with processor.build_batch(prompt_bucket=..., "
+                    "patch_bucket=...))"
+                )
+            # position_ids carries the 3 M-RoPE streams in axis 0; batch is axis 1
+            stack[k] = jnp.asarray(np.concatenate(rows, axis=1 if k == "position_ids" else 0))
+        deltas = jnp.asarray(
+            np.array([q.rope_delta for q in reqs] + [0] * pad, np.int32)
+        )
+        budgets = np.array(
+            [min(q.max_new_tokens, self.max_new_tokens) for q in reqs] + [0] * pad, np.int32
+        )
+        return stack, deltas, budgets
+
+    def run(self, requests: List[Request]) -> Tuple[List[Completion], ServeStats]:
+        pending = deque(requests)
+        free: List[int] = list(range(self.n_slots))
+        occupant: Dict[int, Request] = {}
+        results: List[Completion] = []
+        stats = ServeStats()
+        t_start = time.perf_counter()
+
+        def sync_flags():
+            return np.asarray(self.state.active), np.asarray(self.state.n_gen)
+
+        while pending or occupant:
+            # ---- refill ----
+            while pending and len(free) >= self.prefill_bucket:
+                take = [pending.popleft() for _ in range(min(self.prefill_bucket, len(pending)))]
+                slots = [free.pop() for _ in range(self.prefill_bucket)]
+                stack, deltas, budgets = self._make_bucket(take)
+                t0 = time.perf_counter()
+                pack = self._prefill(self.params, stack, deltas)
+                self.state = self._insert(
+                    self.state, pack, jnp.asarray(np.array(slots, np.int32)), jnp.asarray(budgets)
+                )
+                _ = float(np.asarray(self.state.write_pos[0]))  # sync (axon: readback)
+                stats.prefill_s += time.perf_counter() - t0
+                for i, q in enumerate(take):
+                    occupant[slots[i]] = q
+                # padding slots go straight back to the free list
+                for s in slots[len(take):]:
+                    free.append(s)
+            if not occupant:
+                break
+            # ---- decode a chunk ----
+            t0 = time.perf_counter()
+            self.state = self._chunk(self.params, self.state)
+            active, n_gen = sync_flags()
+            stats.decode_s += time.perf_counter() - t0
+            stats.decode_steps += self.chunk_steps
+            # ---- harvest finished slots ----
+            done = [s for s in occupant if not active[s]]
+            if done:
+                tok_rows = np.asarray(self.state.tokens[np.array(done)])
+                # device-side gather COPIES the rows, so slot reuse can't
+                # clobber them; stays lazy (no tunnel readback) until consumed
+                hid_rows = self.state.hidden_out[np.array(done)] if self.collect_hidden else None
+                for jd, s in enumerate(done):
+                    q = occupant.pop(s)
+                    ng = int(n_gen[s])
+                    results.append(
+                        Completion(
+                            uid=q.uid,
+                            tokens=tok_rows[jd, :ng].copy(),
+                            n_gen=ng,
+                            hidden=None if hid_rows is None else hid_rows[jd],
+                        )
+                    )
+                    stats.generated_tokens += ng
+                    stats.completions += 1
+                    free.append(s)
+
+        stats.wall_s = time.perf_counter() - t_start
+        if stats.decode_steps:
+            stats.slot_step_utilization = stats.generated_tokens / (
+                stats.decode_steps * self.n_slots
+            )
+        return results, stats
