@@ -6,8 +6,11 @@ streams together; each image span gets t=const, h=row, w=col offset from the
 current text position; the following text resumes at max(position)+1.
 
 Computed once per batch on the host in numpy (the reference computes it once at
-prefill too). Images only — the reference trainer asserts one image per sample
-(`padt_sft_trainer.py:341`); pure-text samples are supported.
+prefill too). One visual (image OR video) per sample — the reference trainer
+asserts one image per sample (`padt_sft_trainer.py:341`); pure-text samples are
+supported. Video spans get the Qwen2.5 time-aligned t stream:
+`t_index = floor(frame_grid_index * second_per_grid_t * tokens_per_second)`
+(transformers Qwen2_5_VLModel.get_rope_index video branch).
 
 Returns (position_ids (3, B, L) int32, rope_deltas (B,) int32) where
 `decode position = prefill_len + step + rope_delta` (padt.py:267-277).
@@ -26,6 +29,9 @@ def get_rope_index(
     grid_thw: Optional[np.ndarray],  # (B, 3) or None; rows may be all-zero (no image)
     image_token_id: int,
     spatial_merge_size: int = 2,
+    video_token_id: Optional[int] = None,
+    second_per_grid_ts: Optional[Sequence[float]] = None,  # (B,); 0 for images
+    tokens_per_second: float = 2.0,  # Qwen2.5-VL vision_config.tokens_per_second
 ) -> Tuple[np.ndarray, np.ndarray]:
     b, l = input_ids.shape
     position_ids = np.ones((3, b, l), dtype=np.int32)
@@ -38,21 +44,33 @@ def get_rope_index(
         pos_chunks = []
         st = 0
         st_idx = 0
-        has_image = (
-            grid_thw is not None
-            and grid_thw[i].prod() > 0
-            and (ids == image_token_id).any()
-        )
+        is_vis = ids == image_token_id
+        if video_token_id is not None:
+            is_vis = is_vis | (ids == video_token_id)
+        has_image = grid_thw is not None and grid_thw[i].prod() > 0 and is_vis.any()
         if has_image:
             t, h, w = (int(x) for x in grid_thw[i])
             llm_t, llm_h, llm_w = t, h // spatial_merge_size, w // spatial_merge_size
-            ed = int(np.argmax(ids == image_token_id))  # first image_pad
+            ed = int(np.argmax(is_vis))  # first image/video pad
             text_len = ed - st
             if text_len > 0:
                 rng = np.arange(text_len, dtype=np.int32) + st_idx
                 pos_chunks.append(np.stack([rng, rng, rng]))
             base = st_idx + text_len
-            t_idx = np.repeat(np.arange(llm_t, dtype=np.int32), llm_h * llm_w)
+            spg = float(second_per_grid_ts[i]) if second_per_grid_ts is not None else 0.0
+            if video_token_id is not None and ids[ed] == video_token_id and spg > 0:
+                # time-aligned temporal positions (video): frame k of the grid
+                # sits at floor(k * seconds_per_grid * tokens_per_second).
+                # Quirk parity: transformers casts second_per_grid_t to the
+                # integer dtype of range_tensor BEFORE multiplying
+                # (modeling_qwen2_5_vl.py:1093-1100), truncating fractional
+                # seconds — replicated so position ids match bit-for-bit.
+                t_vals = (
+                    np.arange(llm_t, dtype=np.int64) * int(spg) * tokens_per_second
+                ).astype(np.int32)
+            else:
+                t_vals = np.arange(llm_t, dtype=np.int32)
+            t_idx = np.repeat(t_vals, llm_h * llm_w)
             h_idx = np.tile(np.repeat(np.arange(llm_h, dtype=np.int32), llm_w), llm_t)
             w_idx = np.tile(np.arange(llm_w, dtype=np.int32), llm_t * llm_h)
             pos_chunks.append(np.stack([t_idx, h_idx, w_idx]) + base)

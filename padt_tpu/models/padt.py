@@ -94,8 +94,9 @@ def extended_embed(
     vrt_e = jnp.take_along_axis(proto, local[:, :, None], axis=1)
     out = jnp.where(is_vrt[:, :, None], vrt_e.astype(text_e.dtype), text_e)
     if merged is not None:
-        # splice raster-order image embeds over <|image_pad|> runs (padt.py:212-219)
-        is_img = input_ids == cfg.image_token_id
+        # splice raster-order image embeds over <|image_pad|> / <|video_pad|>
+        # runs (padt.py:212-219; video inherits the same splice from Qwen2.5-VL)
+        is_img = (input_ids == cfg.image_token_id) | (input_ids == cfg.video_token_id)
         slot = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
         img_e = jnp.take_along_axis(merged, jnp.clip(slot, 0, merged.shape[1] - 1)[:, :, None], axis=1)
         out = jnp.where(is_img[:, :, None], img_e.astype(out.dtype), out)

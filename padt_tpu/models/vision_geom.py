@@ -135,7 +135,11 @@ def vision_geometry(
         inv_window_index[i, :nm] = np.argsort(wi).astype(np.int32)
         inv_window_index[i, nm:] = np.arange(nm, m_max, dtype=np.int32)
         seg_win[i, :n] = np.repeat(win_id, unit)
-        seg_full[i, :n] = 0
+        # full-attention segments are PER FRAME (transformers builds fullatt
+        # cu_seqlens as repeat_interleave(h*w, t)); window reorder keeps frames
+        # contiguous (t is the outer dim of the window shuffle), so raster
+        # frame spans remain valid in window order
+        seg_full[i, :n] = np.repeat(np.arange(t, dtype=np.int32), h * w)
         hpos[i, :n] = hp
         wpos[i, :n] = wp
         num_patches[i] = n

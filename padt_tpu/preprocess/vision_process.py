@@ -101,6 +101,10 @@ def resize_max_side(image, max_side: int = 644):
 class ProcessedImage:
     pixel_patches: np.ndarray  # (grid_t*grid_h*grid_w, C*tP*P*P) float32
     grid_thw: Tuple[int, int, int]  # (t, h, w) in 14px patch units
+    # video-only metadata (images keep the defaults): seconds covered by one
+    # temporal grid step, and the flag that routes <|video_pad|> templating
+    second_per_grid_t: float = 0.0
+    is_video: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -169,6 +173,82 @@ def process_image(
         grid_t * grid_h * grid_w, channel * temporal_patch_size * patch_size * patch_size
     )
     return ProcessedImage(pixel_patches=flat, grid_thw=(grid_t, grid_h, grid_w))
+
+
+def process_video(
+    frames,  # list of PIL images / HWC uint8 arrays, or one (T, H, W, C) array
+    fps: float = 2.0,
+    min_pixels: int = DEFAULT_MIN_PIXELS,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    mean: Tuple[float, ...] = OPENAI_CLIP_MEAN,
+    std: Tuple[float, ...] = OPENAI_CLIP_STD,
+) -> ProcessedImage:
+    """Video frames -> flattened patch rows + grid_thw (t > 1).
+
+    Mirrors the reference's qwen_vl_utils video path (inherited by PaDT from
+    Qwen2.5-VL; the PaDT tasks are image-only but the base VLM supports video):
+    every frame is smart-resized to one shared grid, consecutive
+    `temporal_patch_size` frames are stacked into one patch row, the trailing
+    frame is repeated to fill the last temporal group, and
+    `second_per_grid_t = temporal_patch_size / fps` feeds the time-aligned
+    M-RoPE t stream (get_rope_index)."""
+    import PIL.Image
+
+    if isinstance(frames, np.ndarray) and frames.ndim == 4:
+        frames = [frames[i] for i in range(frames.shape[0])]
+    pil_frames = []
+    for f in frames:
+        if isinstance(f, np.ndarray):
+            f = PIL.Image.fromarray(f)
+        if f.mode != "RGB":
+            f = f.convert("RGB")
+        pil_frames.append(f)
+
+    h, w = pil_frames[0].height, pil_frames[0].width
+    resized_h, resized_w = smart_resize(h, w, IMAGE_FACTOR, min_pixels, max_pixels)
+    mean_a = np.asarray(mean, dtype=np.float32)
+    std_a = np.asarray(std, dtype=np.float32)
+    stack = []
+    for f in pil_frames:
+        f = f.resize((resized_w, resized_h), PIL.Image.Resampling.BICUBIC)
+        arr = np.asarray(f, dtype=np.float32) / 255.0
+        arr = (arr - mean_a) / std_a
+        stack.append(arr.transpose(2, 0, 1))  # CHW
+    patches = np.stack(stack, axis=0)  # (T, C, H, W)
+    if patches.shape[0] % temporal_patch_size != 0:
+        reps = np.tile(
+            patches[-1:],
+            (temporal_patch_size - patches.shape[0] % temporal_patch_size, 1, 1, 1),
+        )
+        patches = np.concatenate([patches, reps], axis=0)
+
+    channel = patches.shape[1]
+    grid_t = patches.shape[0] // temporal_patch_size
+    grid_h, grid_w = resized_h // patch_size, resized_w // patch_size
+    patches = patches.reshape(
+        grid_t,
+        temporal_patch_size,
+        channel,
+        grid_h // merge_size,
+        merge_size,
+        patch_size,
+        grid_w // merge_size,
+        merge_size,
+        patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(
+        grid_t * grid_h * grid_w, channel * temporal_patch_size * patch_size * patch_size
+    )
+    return ProcessedImage(
+        pixel_patches=flat,
+        grid_thw=(grid_t, grid_h, grid_w),
+        second_per_grid_t=temporal_patch_size / fps,
+        is_video=True,
+    )
 
 
 def batch_images(

@@ -35,6 +35,7 @@ CHAT_TEMPLATE = (
     "<|im_start|>assistant\n"
 )
 IMAGE_CONTENT = "<|vision_start|><|image_pad|><|vision_end|>"
+VIDEO_CONTENT = "<|vision_start|><|video_pad|><|vision_end|>"
 
 
 def round_up(x: int, m: int) -> int:
@@ -119,9 +120,9 @@ class VisionTextProcessor:
     # ------------------------------------------------------------------
     # templating / tokenization
     # ------------------------------------------------------------------
-    def apply_chat_template(self, prompt: str, has_image: bool = True) -> str:
-        content = (IMAGE_CONTENT if has_image else "") + prompt
-        return CHAT_TEMPLATE.format(content=content)
+    def apply_chat_template(self, prompt: str, has_image: bool = True, is_video: bool = False) -> str:
+        vis = (VIDEO_CONTENT if is_video else IMAGE_CONTENT) if has_image else ""
+        return CHAT_TEMPLATE.format(content=vis + prompt)
 
     def encode(self, text: str) -> List[int]:
         return self.tokenizer.encode(text, add_special_tokens=False)
@@ -167,19 +168,24 @@ class VisionTextProcessor:
             max_m = max(p.num_merged_patches for p in processed if p is not None)
             self.ensure_vrt_tokens(max_m)
 
-        # tokenize prompts, expanding <|image_pad|> to the merged patch count
-        img_pad_id = cfg.image_token_id
+        # tokenize prompts, expanding <|image_pad|>/<|video_pad|> to the merged
+        # patch count (video reuses the image machinery; grid t > 1)
+        pad_ids = (cfg.image_token_id, cfg.video_token_id)
         prompt_ids: List[List[int]] = []
         for i, text in enumerate(prompts):
             if apply_template:
-                text = self.apply_chat_template(text, has_image=processed[i] is not None)
+                text = self.apply_chat_template(
+                    text,
+                    has_image=processed[i] is not None,
+                    is_video=processed[i] is not None and processed[i].is_video,
+                )
             ids = self.encode(text)
             if processed[i] is not None:
                 n = processed[i].num_merged_patches
                 out: List[int] = []
                 for t in ids:
-                    if t == img_pad_id:
-                        out.extend([img_pad_id] * n)
+                    if t in pad_ids:
+                        out.extend([t] * n)
                     else:
                         out.append(t)
                 ids = out
@@ -213,8 +219,12 @@ class VisionTextProcessor:
                 completion_mask[i, lp : lp + len(c)] = 1
 
         grid_arr = np.asarray(grid_list, np.int64)
+        spg = [(p.second_per_grid_t if p is not None else 0.0) for p in processed]
         pos, deltas = get_rope_index(
-            input_ids, attention_mask, grid_arr, cfg.image_token_id, cfg.vision.spatial_merge_size
+            input_ids, attention_mask, grid_arr, cfg.image_token_id,
+            cfg.vision.spatial_merge_size,
+            video_token_id=cfg.video_token_id,
+            second_per_grid_ts=spg,
         )
 
         data: Dict[str, np.ndarray] = {
