@@ -19,16 +19,20 @@ TPU-first design:
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import VisionConfig
-from ..ops.attention import segment_attention
+from ..ops.attention import fused_vision_attention_qkv, use_pallas
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rotary, vision_rope_cos_sin
+from ..ops.rope import vision_rope_cos_sin
+
+# Mosaic lane-tile width: heads are zero-padded to this at the WEIGHT level on
+# the Pallas path so the qkv projection emits 128-lane head tiles for free
+# (see ops/pallas_attention.py::vision_flash_attention)
+_LANE = 128
 
 
 def _linear(p, x):
@@ -77,18 +81,32 @@ def init_vision_params(cfg: VisionConfig, key, dtype=jnp.bfloat16):
     }
 
 
+def _pad_head_lanes(blocks, h: int, hd: int):
+    """Zero-pad per-head columns of qkv_w/qkv_b and rows of proj_w to _LANE.
+    Weight-sized one-time cost per forward (~0.5 GB/s-scale, negligible)."""
+    pad = _LANE - hd
+    depth, d, _ = blocks["qkv_w"].shape
+    qkv_w = blocks["qkv_w"].reshape(depth, d, 3, h, hd)
+    qkv_w = jnp.pad(qkv_w, [(0, 0)] * 4 + [(0, pad)]).reshape(depth, d, 3 * h * _LANE)
+    qkv_b = blocks["qkv_b"].reshape(depth, 3, h, hd)
+    qkv_b = jnp.pad(qkv_b, [(0, 0)] * 3 + [(0, pad)]).reshape(depth, 3 * h * _LANE)
+    proj_w = blocks["proj_w"].reshape(depth, h, hd, d)
+    proj_w = jnp.pad(proj_w, [(0, 0), (0, 0), (0, pad), (0, 0)]).reshape(depth, h * _LANE, d)
+    return dict(blocks, qkv_w=qkv_w, qkv_b=qkv_b, proj_w=proj_w)
+
+
 def _block(x, lp, cos, sin, seg, cfg: VisionConfig):
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
     # --- attention ---
     xn = rms_norm(x, lp["norm1_w"], cfg.rms_norm_eps)
-    qkv = xn @ lp["qkv_w"] + lp["qkv_b"]  # (B, S, 3D)
-    qkv = qkv.reshape(b, s, 3, h, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    # rotary on q/k in fp32 (monkey-patch parity, qwen2_5vl_monkey_patch.py:29-30)
-    q = apply_rotary(q, cos[:, :, None, :], sin[:, :, None, :])
-    k = apply_rotary(k, cos[:, :, None, :], sin[:, :, None, :])
-    attn = segment_attention(q, k, v, seg).reshape(b, s, d)
+    qkv = xn @ lp["qkv_w"] + lp["qkv_b"]  # (B, S, 3*H*hd_eff); heads may be lane-padded
+    # fp32 rotary (monkey-patch parity, qwen2_5vl_monkey_patch.py:29-30) fused
+    # into the attention kernels on TPU (which read q/k/v straight out of the
+    # fused qkv buffer); XLA rope+attention elsewhere
+    attn = fused_vision_attention_qkv(
+        qkv, cos, sin, seg, h, scale=1.0 / (hd**0.5), rope_dim=hd
+    )  # (B, S, H*hd_eff)
     x = x + (attn @ lp["proj_w"] + lp["proj_b"])
     # --- gated MLP (SiLU) ---
     xn = rms_norm(x, lp["norm2_w"], cfg.rms_norm_eps)
@@ -126,16 +144,27 @@ def vision_forward(
 
     cos, sin = vision_rope_cos_sin(hpos, wpos, cfg.head_dim)
 
+    blocks = params["blocks"]
+    cos_a, sin_a = cos, sin
+    if use_pallas() and cfg.head_dim % _LANE != 0:
+        # Lane-pad each head in the qkv/proj weights so the projections emit
+        # Mosaic-legal (blk, 128) head tiles directly: zero q/k pad lanes add
+        # nothing to scores, zero v pad lanes keep outputs exact, zero proj
+        # rows absorb them — no extra elementwise HBM passes anywhere.
+        blocks = _pad_head_lanes(blocks, cfg.num_heads, cfg.head_dim)
+        pad = [(0, 0), (0, 0), (0, _LANE - cfg.head_dim)]
+        cos_a, sin_a = jnp.pad(cos, pad), jnp.pad(sin, pad)
+
     is_full = jnp.zeros((cfg.depth,), dtype=bool).at[jnp.asarray(cfg.fullatt_block_indexes)].set(True)
 
     def body(xc, layer):
         lp, full = layer
         seg = jnp.where(full, seg_full, seg_win)
-        return _block(xc, lp, cos, sin, seg, cfg), None
+        return _block(xc, lp, cos_a, sin_a, seg, cfg), None
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
+    x, _ = jax.lax.scan(body, x, (blocks, is_full))
 
     high_res = x
     # merger: RMSNorm then 4-group concat MLP (Qwen2_5_VLPatchMerger)

@@ -47,7 +47,7 @@ def _pad_seq(x: jnp.ndarray, target: int, axis: int = 1) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
-def _flash_segment(q, k, v, q_seg, k_seg, causal: bool):
+def _flash_segment(q, k, v, q_seg, k_seg, causal: bool, scale: Optional[float] = None):
     """Pad sequence dims to 128 multiples and run the Pallas flash kernel."""
     from .pallas_attention import flash_attention
 
@@ -59,7 +59,7 @@ def _flash_segment(q, k, v, q_seg, k_seg, causal: bool):
     vp = _pad_seq(v, sk_p)
     qsp = _pad_seq(q_seg, sq_p).at[:, s_q:].set(-1) if sq_p != s_q else q_seg
     ksp = _pad_seq(k_seg, sk_p).at[:, s_k:].set(-2) if sk_p != s_k else k_seg
-    out = flash_attention(qp, kp, vp, qsp, ksp, causal)
+    out = flash_attention(qp, kp, vp, qsp, ksp, causal, scale)
     return out[:, :s_q]
 
 
@@ -87,17 +87,99 @@ def segment_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     seg: jnp.ndarray,  # (B, S) int32; tokens attend within equal ids; -1 = pad
+    scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Block-diagonal attention over segments (vision windows / whole image)."""
     if use_pallas():
-        return _flash_segment(q, k, v, seg, seg, causal=False)
-    scale = 1.0 / (q.shape[-1] ** 0.5)
+        return _flash_segment(q, k, v, seg, seg, causal=False, scale=scale)
+    scale = (1.0 / (q.shape[-1] ** 0.5)) if scale is None else scale
     mask = (seg[:, None, :, None] == seg[:, None, None, :]) & (seg[:, None, None, :] >= 0)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     out = _sdpa(qt, kt, vt, mask, scale)
     return out.transpose(0, 2, 1, 3)
+
+
+def fused_vision_attention(
+    q: jnp.ndarray,  # (B, S, H, D) PRE-rope
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,  # (B, S, D) fp32 rope tables
+    sin: jnp.ndarray,
+    seg: jnp.ndarray,  # (B, S) int32; -1 = pad
+    scale: Optional[float] = None,
+    rope_dim: Optional[int] = None,  # real rotary width when D is lane-padded
+) -> jnp.ndarray:
+    """Vision-tower attention with the fp32 rotary rotation fused in.
+
+    TPU: one Pallas kernel applies rope on VMEM tiles and consumes the packed
+    (B, S, H*D) qkv-projection layout directly (no transposes, no rope HBM
+    chain — ~2x vision-forward win at 3B/batch-96, BASELINE.md round 2).
+    CPU/debug: XLA rope + dense segment attention (the correctness oracle)."""
+    if use_pallas():
+        from .pallas_attention import vision_flash_attention
+
+        d = q.shape[-1]
+        rd = rope_dim or d
+        if scale is None:
+            scale = 1.0 / (rd**0.5)
+        if d % 128 != 0:
+            # lane-pad activations for callers that didn't pre-align heads
+            # (the vision tower pads at the WEIGHT level and skips this)
+            d_p = -(-d // 128) * 128
+            padl = [(0, 0), (0, 0), (0, 0), (0, d_p - d)]
+            q, k, v = jnp.pad(q, padl), jnp.pad(k, padl), jnp.pad(v, padl)
+            cos = jnp.pad(cos, padl[:2] + padl[3:])
+            sin = jnp.pad(sin, padl[:2] + padl[3:])
+        s = q.shape[1]
+        s_p = -(-s // 128) * 128
+        if s_p != s:
+            qp, kp, vp = _pad_seq(q, s_p), _pad_seq(k, s_p), _pad_seq(v, s_p)
+            cosp, sinp = _pad_seq(cos, s_p), _pad_seq(sin, s_p)
+            segp = _pad_seq(seg, s_p).at[:, s:].set(-1)
+            out = vision_flash_attention(qp, kp, vp, cosp, sinp, segp, scale, rd)[:, :s]
+        else:
+            out = vision_flash_attention(q, k, v, cos, sin, seg, scale, rd)
+        return out[..., :d]
+    from .pallas_attention import _rot_half_lanes
+
+    rd = rope_dim or q.shape[-1]
+    real_scale = (1.0 / (rd**0.5)) if scale is None else scale
+    cq, sq = cos.astype(jnp.float32)[:, :, None, :], sin.astype(jnp.float32)[:, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        return (xf * cq + _rot_half_lanes(xf, rd) * sq).astype(x.dtype)
+
+    out = segment_attention(rot(q), rot(k), v, seg, scale=real_scale)
+    return out
+
+
+def fused_vision_attention_qkv(
+    qkv: jnp.ndarray,  # (B, S, 3*H*D) fused qkv-projection output, PRE-rope
+    cos: jnp.ndarray,  # (B, S, D) fp32
+    sin: jnp.ndarray,
+    seg: jnp.ndarray,  # (B, S) int32; -1 = pad
+    num_heads: int,
+    scale: Optional[float] = None,
+    rope_dim: Optional[int] = None,
+) -> jnp.ndarray:
+    """`fused_vision_attention` on the un-split qkv buffer -> (B, S, H*D).
+
+    TPU fast path reads q/k/v via lane-block offsets (no slice copies); falls
+    back to slicing + the standard paths when off-TPU or on odd shapes."""
+    b, s, dh3 = qkv.shape
+    d = dh3 // (3 * num_heads)
+    if use_pallas() and s % 128 == 0 and d % 128 == 0:
+        from .pallas_attention import vision_flash_attention_qkv
+
+        rd = rope_dim or d
+        real_scale = (1.0 / (rd**0.5)) if scale is None else scale
+        return vision_flash_attention_qkv(qkv, cos, sin, seg, num_heads, real_scale, rd)
+    q, k, v = (x.reshape(b, s, num_heads, d) for x in jnp.split(qkv, 3, axis=-1))
+    out = fused_vision_attention(q, k, v, cos, sin, seg, scale, rope_dim)
+    return out.reshape(b, s, num_heads * d)
 
 
 def causal_attention(

@@ -23,7 +23,7 @@ Backward uses the standard two-pass flash VJP (recompute probs per block).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +48,11 @@ def _fwd_kernel(
     qi = pl.program_id(2)
     bi = pl.program_id(0)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (blk_q, D)
+    # inputs stay in their storage dtype for the dots (bf16 in production):
+    # fp32 MXU passes run at ~1/8 the bf16 rate, and fp32 accumulation via
+    # preferred_element_type keeps the softmax math exact enough (standard
+    # flash practice; this one cast was worth ~8x on the scores matmul)
+    q = q_ref[0, 0]  # (blk_q, D)
     qseg = q_seg_ref[0, 0].reshape(blk_q, 1)  # (blk_q, 1)
 
     m0 = jnp.full((blk_q, 1), -jnp.inf, jnp.float32)
@@ -59,12 +63,12 @@ def _fwd_kernel(
 
     def body(kb, carry):
         m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(kb * blk_k, blk_k), :].astype(jnp.float32)  # (blk_k, D)
-        v = v_ref[0, 0, pl.ds(kb * blk_k, blk_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(kb * blk_k, blk_k), :]  # (blk_k, D)
+        v = v_ref[0, 0, pl.ds(kb * blk_k, blk_k), :]
         kseg = k_seg_ref[0, 0, pl.ds(kb * blk_k, blk_k)].reshape(1, blk_k)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (blk_q, blk_k)
+        ) * scale  # (blk_q, blk_k) f32
         mask = (qseg == kseg) & (kseg >= 0)
         if causal:
             k_pos = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
@@ -77,7 +81,8 @@ def _fwd_kernel(
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -88,38 +93,24 @@ def _fwd_kernel(
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _flash_raw(
-    q: jnp.ndarray,  # (B, H, S_q, Dp)
-    k: jnp.ndarray,  # (B, Hkv, S_k, Dp)
-    v: jnp.ndarray,
-    q_seg: jnp.ndarray,  # (B, S_q) int32
-    k_seg: jnp.ndarray,  # (B, S_k) int32
-    causal: bool,
-    scale: float,
-    blk_q: Optional[int] = None,
-    blk_k: Optional[int] = None,
-) -> jnp.ndarray:
-    def pick_block(s):
-        # largest tile dividing s: fewer grid programs -> less launch overhead
-        # (at 3B vision shapes, 128-blocks cost 41 ms/layer vs 18 ms at 768)
-        # candidates must be multiples of 128 (lane dim of the seg blocks)
-        for c in (768, 640, 512, 384, 256, 128):
-            if s % c == 0:
-                return c
-        return min(s, 128)
+def _pick_block(s: int) -> int:
+    # largest tile dividing s: fewer grid programs -> less launch overhead
+    # (at 3B vision shapes, 128-blocks cost 41 ms/layer vs 18 ms at 768)
+    # candidates must be multiples of 128 (lane dim of the seg blocks)
+    for c in (768, 640, 512, 384, 256, 128):
+        if s % c == 0:
+            return c
+    return min(s, 128)
 
-    blk_q = blk_q or pick_block(q.shape[2])
-    blk_k = blk_k or pick_block(k.shape[2])
-    b, h, s_q, d = q.shape
-    hkv = k.shape[1]
-    n_rep = h // hkv
-    s_k = k.shape[2]
-    n_qb = s_q // blk_q
-    n_kb = s_k // blk_k
 
-    # per-block segment ranges -> contiguous k-block window per q block.
-    # Valid segments are non-decreasing along the sequence (window order /
-    # causal all-zeros) with -1 padding, so the intersecting set is contiguous.
+def _kblock_ranges(q_seg, k_seg, blk_q, blk_k, causal: bool):
+    """Per-q-block contiguous k-block [lo, hi) windows whose segments can
+    intersect. Valid segments are non-decreasing along the sequence (window
+    order / causal all-zeros) with -1 padding, so the set is contiguous."""
+    b = q_seg.shape[0]
+    n_qb = q_seg.shape[1] // blk_q
+    n_kb = k_seg.shape[1] // blk_k
+
     def blk_minmax(seg, blk):
         segb = seg.reshape(b, -1, blk)
         valid = segb >= 0
@@ -140,6 +131,30 @@ def _flash_raw(
     if causal:
         causal_hi = ((jnp.arange(n_qb, dtype=jnp.int32) + 1) * blk_q + blk_k - 1) // blk_k
         hi = jnp.minimum(hi, jnp.minimum(causal_hi, n_kb)[None, :])
+    return lo, hi
+
+
+def _flash_raw(
+    q: jnp.ndarray,  # (B, H, S_q, Dp)
+    k: jnp.ndarray,  # (B, Hkv, S_k, Dp)
+    v: jnp.ndarray,
+    q_seg: jnp.ndarray,  # (B, S_q) int32
+    k_seg: jnp.ndarray,  # (B, S_k) int32
+    causal: bool,
+    scale: float,
+    blk_q: Optional[int] = None,
+    blk_k: Optional[int] = None,
+) -> jnp.ndarray:
+    blk_q = blk_q or _pick_block(q.shape[2])
+    blk_k = blk_k or _pick_block(k.shape[2])
+    b, h, s_q, d = q.shape
+    hkv = k.shape[1]
+    n_rep = h // hkv
+    s_k = k.shape[2]
+    n_qb = s_q // blk_q
+    n_kb = s_k // blk_k
+
+    lo, hi = _kblock_ranges(q_seg, k_seg, blk_q, blk_k, causal)
 
     grid = (b, h, n_qb)
     kernel = functools.partial(_fwd_kernel, blk_k=blk_k, causal=causal, scale=scale)
@@ -255,3 +270,272 @@ def _flash_bwd(causal, scale, res, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused vision attention: rope applied IN-KERNEL on the matmul's natural
+# (B, S, H*hd) layout.
+#
+# Profiling at bench shapes (BASELINE.md round 2) showed the vision tower's
+# attention path costing ~3.05 s of a 4.95 s forward at 3B/batch-96 while the
+# matmul floor is 1.9 s: the fp32 rope chain (x4 elementwise HBM passes over
+# q/k per layer) and the four (B,S,H,D)<->(B,H,S,D) relayouts around the
+# generic kernel dominate. This kernel removes both:
+#   - q/k/v are consumed as (1, blk, hd) column slices of the packed
+#     (B, S, H*hd) qkv-projection output (BlockSpec indexes the head axis in
+#     the LANE dimension) — zero transposes in or out;
+#   - the fp32 "half" rotation (qwen2_5vl_monkey_patch.py:29-30 parity) runs
+#     on VMEM-resident tiles inside the kernel — the rope never touches HBM.
+# Same segment masking / k-block skipping as `flash_attention`; vision has no
+# GQA (H == Hkv) and is never causal.
+# ---------------------------------------------------------------------------
+
+
+def _rot_half_lanes(x, rope_dim: Optional[int] = None):
+    """rotate_half over the first `rope_dim` lanes; trailing (zero-padded rope)
+    lanes pass through — their sin is 0, so their rotated content never lands."""
+    rd = rope_dim or x.shape[-1]
+    half = rd // 2
+    parts = [-x[..., half:rd], x[..., :half]]
+    if rd != x.shape[-1]:
+        parts.append(x[..., rd:])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _rope_pair_kernel(q_ref, k_ref, cos_ref, sin_ref, oq_ref, ok_ref, *, rope_dim: int):
+    """Rotate one (blk, d) head tile of q AND k — each element touched once."""
+    c, s = cos_ref[0], sin_ref[0]
+    qf = q_ref[0].astype(jnp.float32)
+    oq_ref[0] = (qf * c + _rot_half_lanes(qf, rope_dim) * s).astype(oq_ref.dtype)
+    kf = k_ref[0].astype(jnp.float32)
+    ok_ref[0] = (kf * c + _rot_half_lanes(kf, rope_dim) * s).astype(ok_ref.dtype)
+
+
+def _rope_pair(qp, kp, cos, sin, h: int, rope_dim: int, k_blk_offset: int = 0):
+    """One fused fp32 rope pass over packed (B, S, H*d) q and k.
+
+    XLA leaves the rotate_half chain unfused at these shapes (~1.3 s of HBM
+    traffic per vision forward at 3B/batch-96); a first attempt that rotated K
+    inside the attention kernel recomputed it once per (head, q-block) grid
+    step — ~48x redundant VPU work that cost MORE than it saved. One explicit
+    single-pass kernel is the fix: q/k each read+written exactly once.
+
+    `k_blk_offset`: lane-block offset of k's heads inside `kp` — lets the
+    kernel read q and k straight out of the FUSED (B, S, 3*H*d) qkv-projection
+    output (pass qp=kp=qkv, k_blk_offset=h) with no XLA slice copies."""
+    b, s, _ = qp.shape
+    d = cos.shape[-1]
+    blk = _pick_block(s)
+    # h innermost: consecutive grid steps revisit the same cos/sin block, so
+    # the pipeline loads each (blk, d) table once per (b, s-block) instead of
+    # once per head (16x overread measured as ~2x on this kernel's runtime)
+    grid = (b, s // blk, h)
+    spec_q = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, hi_))
+    spec_k = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, k_blk_offset + hi_))
+    spec_cs = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, 0))
+    spec_out = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, hi_))
+    kernel = functools.partial(_rope_pair_kernel, rope_dim=rope_dim)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_q, spec_k, spec_cs, spec_cs],
+        out_specs=[spec_out, spec_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, h * d), qp.dtype),
+            jax.ShapeDtypeStruct((b, s, h * d), kp.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(qp, kp, cos, sin)
+
+
+def _vis_fwd_kernel(
+    lo_ref, hi_ref, q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, o_ref,
+    *, blk_k: int, scale: float,
+):
+    blk_q, d = q_ref.shape[1], q_ref.shape[2]
+    bi = pl.program_id(0)
+    qi = pl.program_id(2)
+
+    q = q_ref[0]  # (blk_q, d) — storage dtype; see _fwd_kernel dtype note
+    qseg = q_seg_ref[0, 0].reshape(blk_q, 1)
+
+    m0 = jnp.full((blk_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((blk_q, 1), jnp.float32)
+    acc0 = jnp.zeros((blk_q, d), jnp.float32)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * blk_k, blk_k), :]  # (blk_k, d)
+        v = v_ref[0, pl.ds(kb * blk_k, blk_k), :]
+        kseg = k_seg_ref[0, 0, pl.ds(kb * blk_k, blk_k)].reshape(1, blk_k)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        mask = (qseg == kseg) & (kseg >= 0)
+        s = jnp.where(mask, s, NEG_INF)
+        m_blk = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(lo_ref[bi, qi], hi_ref[bi, qi], body, (m0, l0, acc0))
+    out = jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _vis_flash_raw(qp, kp, vp, cos, sin, seg, scale, h: int, rope_dim: int,
+                   v_blk_offset: int = 0):
+    """qp/kp: (B, S, H*hd) packed (or the fused qkv buffer, see _rope_pair);
+    vp: (B, S, >=H*hd) with v heads starting at lane-block `v_blk_offset`;
+    cos/sin: (B, S, hd) fp32; seg: (B, S)."""
+    b, s, _ = qp.shape
+    d = cos.shape[-1]
+    dh = h * d
+    blk_q = blk_k = _pick_block(s)
+    n_qb = s // blk_q
+    lo, hi = _kblock_ranges(seg, seg, blk_q, blk_k, causal=False)
+
+    k_off = h if v_blk_offset else 0  # fused qkv buffer: k heads follow q heads
+    q_rot, k_rot = _rope_pair(qp, kp, cos, sin, h, rope_dim, k_blk_offset=k_off)
+
+    grid = (b, h, n_qb)
+    kernel = functools.partial(_vis_fwd_kernel, blk_k=blk_k, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, blk_q), lambda bi, hi_, qi, *r: (bi, 0, qi)),  # q_seg
+            pl.BlockSpec((1, 1, s), lambda bi, hi_, qi, *r: (bi, 0, 0)),  # k_seg
+            pl.BlockSpec((1, blk_q, d), lambda bi, hi_, qi, *r: (bi, qi, hi_)),  # q
+            pl.BlockSpec((1, s, d), lambda bi, hi_, qi, *r: (bi, 0, hi_)),  # k
+            pl.BlockSpec((1, s, d), lambda bi, hi_, qi, *r: (bi, 0, v_blk_offset + hi_)),  # v
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda bi, hi_, qi, *r: (bi, qi, hi_)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, dh), qp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(lo, hi, seg[:, None, :], seg[:, None, :], q_rot, k_rot, vp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def vision_flash_attention(
+    q, k, v, cos, sin, seg,
+    scale: Optional[float] = None, rope_dim: Optional[int] = None,
+):
+    """Segment attention with the rotary rotation fused into the kernel.
+
+    q/k/v: (B, S, H, hd) PRE-rope (straight off the qkv projection);
+    cos/sin: (B, S, hd) fp32; seg: (B, S) int32 (-1 = pad).
+    Returns (B, S, H, hd). H == Hkv (the vision tower has no GQA).
+
+    `rope_dim`: real rotary width when hd carries zero-padded lanes (the
+    vision tower's hd=80 heads are padded to 128 at the WEIGHT level so the
+    qkv projection emits Mosaic-legal 128-lane tiles for free — zero q/k pad
+    lanes add nothing to scores, zero v pad lanes stay zero in the output,
+    and zero-padded cos/sin keep the rotation inert on pad lanes).
+    `scale` defaults to rope_dim**-0.5 (the REAL head dim)."""
+    out, _ = _vis_fwd(q, k, v, cos, sin, seg, scale, rope_dim)
+    return out
+
+
+def _vis_fwd(q, k, v, cos, sin, seg, scale, rope_dim):
+    b, s, h, d = q.shape
+    rd = rope_dim or d
+    real_scale = (1.0 / (rd**0.5)) if scale is None else scale
+    out = _vis_flash_raw(
+        q.reshape(b, s, h * d),
+        k.reshape(b, s, h * d),
+        v.reshape(b, s, h * d),
+        cos.astype(jnp.float32),
+        sin.astype(jnp.float32),
+        seg.astype(jnp.int32),
+        real_scale,
+        h,
+        rd,
+    ).reshape(b, s, h, d)
+    return out, (q, k, v, cos, sin, seg)
+
+
+def _vis_bwd(scale, rope_dim, res, g):
+    """Recompute-based backward: rotate q/k in XLA, reuse the chunked segment
+    backward, then pull the grads back through the rotation (R is orthogonal:
+    dx = dy*cos - rotate_half(dy)*sin)."""
+    q, k, v, cos, sin, seg = res
+    d = q.shape[-1]
+    rd = rope_dim or d
+    real_scale = (1.0 / (rd**0.5)) if scale is None else scale
+    cq = cos.astype(jnp.float32)[:, :, None, :]
+    sq = sin.astype(jnp.float32)[:, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        return (xf * cq + _rot_half_lanes(xf, rd) * sq).astype(x.dtype)
+
+    def unrot(dy):
+        dyf = dy.astype(jnp.float32)
+        return (dyf * cq - _rot_half_lanes(dyf, rd) * sq).astype(dy.dtype)
+
+    dq_r, dk_r, dv, _, _ = _flash_bwd(
+        False, real_scale, (rot(q), rot(k), v, seg, seg, None), g
+    )
+    return unrot(dq_r), unrot(dk_r), dv, jnp.zeros_like(cos), jnp.zeros_like(sin), None
+
+
+vision_flash_attention.defvjp(_vis_fwd, _vis_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def vision_flash_attention_qkv(
+    qkv, cos, sin, seg, h: int,
+    scale: Optional[float] = None, rope_dim: Optional[int] = None,
+):
+    """`vision_flash_attention` reading q/k/v straight from the FUSED
+    (B, S, 3*H*hd) qkv-projection output via lane-block offsets — the three
+    (B, S, H*hd) slice copies XLA would otherwise materialize per layer
+    (~0.4 s/forward at 3B/batch-96) never exist. Returns (B, S, H*hd)."""
+    out, _ = _vis_qkv_fwd(qkv, cos, sin, seg, h, scale, rope_dim)
+    return out
+
+
+def _vis_qkv_fwd(qkv, cos, sin, seg, h, scale, rope_dim):
+    d = cos.shape[-1]
+    assert qkv.shape[-1] == 3 * h * d, (qkv.shape, h, d)
+    rd = rope_dim or d
+    real_scale = (1.0 / (rd**0.5)) if scale is None else scale
+    out = _vis_flash_raw(
+        qkv, qkv, qkv,
+        cos.astype(jnp.float32), sin.astype(jnp.float32), seg.astype(jnp.int32),
+        real_scale, h, rd, v_blk_offset=2 * h,
+    )
+    return out, (qkv, cos, sin, seg)
+
+
+def _vis_qkv_bwd(h, scale, rope_dim, res, g):
+    qkv, cos, sin, seg = res
+    b, s, _ = qkv.shape
+    d = cos.shape[-1]
+    q, k, v = (x.reshape(b, s, h, d) for x in jnp.split(qkv, 3, axis=-1))
+    dq, dk, dv, dcos, dsin, _ = _vis_bwd(
+        scale, rope_dim, (q, k, v, cos, sin, seg), g.reshape(b, s, h, d)
+    )
+    dqkv = jnp.concatenate(
+        [x.reshape(b, s, h * d) for x in (dq, dk, dv)], axis=-1
+    )
+    return dqkv, dcos, dsin, None
+
+
+vision_flash_attention_qkv.defvjp(_vis_qkv_fwd, _vis_qkv_bwd)

@@ -105,6 +105,84 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
 
 
+def _mk_rope(b, s, d, seed=5):
+    rng = np.random.RandomState(seed)
+    hpos = jnp.asarray(np.sort(rng.randint(0, 32, (b, s)), axis=1))
+    wpos = jnp.asarray(np.sort(rng.randint(0, 32, (b, s)), axis=1))
+    from padt_tpu.ops.rope import vision_rope_cos_sin
+
+    return vision_rope_cos_sin(hpos, wpos, d)
+
+
+@pytest.mark.parametrize("d", [80, 128] if ON_TPU else [64])
+def test_fused_vision_attention_matches_xla(d):
+    """Fused in-kernel rope + segment attention vs the XLA rope+attention
+    oracle (the path the vision tower takes off-TPU)."""
+    b, s, h = 2, 256, 4
+    q, k, v = _mk(b, s, h, d, dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    seg = np.sort(rng.randint(0, 4, size=(b, s)), axis=1).astype(np.int32)
+    seg[:, -13:] = -1
+    seg = jnp.asarray(seg)
+    cos, sin = _mk_rope(b, s, d)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = A.fused_vision_attention(q, k, v, cos, sin, seg)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        if ON_TPU:
+            out = A.fused_vision_attention(q, k, v, cos, sin, seg)
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                out = A.fused_vision_attention(q, k, v, cos, sin, seg)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    valid = np.asarray(seg) >= 0
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], rtol=2e-3, atol=2e-3
+    )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="interpret-mode grads too slow on CPU")
+def test_fused_vision_attention_gradients():
+    """Backward pulls grads through the in-kernel rotation correctly."""
+    b, s, h, d = 2, 256, 4, 80
+    q, k, v = _mk(b, s, h, d, dtype=jnp.float32)
+    seg_np = np.zeros((b, s), np.int32)
+    seg_np[:, 128:] = 1
+    seg_np[:, -20:] = -1
+    seg = jnp.asarray(seg_np)
+    cos, sin = _mk_rope(b, s, d)
+
+    def loss_fused(q, k, v):
+        os.environ["PADT_PALLAS"] = "1"
+        try:
+            o = A.fused_vision_attention(q, k, v, cos, sin, seg)
+        finally:
+            os.environ["PADT_PALLAS"] = "auto"
+        return (o * o).sum()
+
+    def loss_xla(q, k, v):
+        os.environ["PADT_PALLAS"] = "0"
+        try:
+            o = A.fused_vision_attention(q, k, v, cos, sin, seg)
+        finally:
+            os.environ["PADT_PALLAS"] = "auto"
+        mask = (seg >= 0)[:, :, None, None]
+        return ((o * o) * mask).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU")
 def test_padded_dispatch_non_multiple():
     """segment_attention wrapper pads non-128-multiple sequence lengths."""
