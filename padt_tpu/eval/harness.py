@@ -190,6 +190,7 @@ def infer_dataset(
     suffix: str = "",
     max_side: Optional[int] = 644,
     log_every: int = 1,
+    prompt_bucket: Optional[int] = None,  # pin to avoid per-length recompiles
 ) -> Tuple[str, str]:
     """Shard over hosts, write per-host JSONL result + completion files
     (reference file naming, `utils.py:184-189`)."""
@@ -215,6 +216,11 @@ def infer_dataset(
             continue
         if rank == 0 and (start // batch_size) % log_every == 0:
             print(f"Processing {start}... | Total: {n}")
+        # pad the trailing partial batch to the full batch size (repeat the
+        # last row, drop its results) — a smaller batch dim would trigger a
+        # fresh jit compile, 1-8 min on the remote compile server
+        n_real = len(rows)
+        rows = rows + [rows[-1]] * (batch_size - n_real)
         prompts = [r["problem"] for r in rows]
         images = []
         for r in rows:
@@ -223,7 +229,8 @@ def infer_dataset(
             if max_side and max(img.size) > max_side:
                 img = resize_max_side(img, max_side)
             images.append(img)
-        results = engine.run_batch(prompts, images)
+        results = engine.run_batch(prompts, images, prompt_bucket=prompt_bucket)[:n_real]
+        rows = rows[:n_real]
         with open(comp_path, "a") as f:
             for r, res in zip(rows, results):
                 f.write(json.dumps({"image_id": r["id"], "completion": res.completion}) + "\n")

@@ -140,12 +140,15 @@ def test_harness_end_to_end_tiny(tmp_path):
     dataset = [
         {"id": 7, "image_path": str(img_path), "problem": 'find "x"'},
         {"id": 8, "image_path": str(img_path), "problem": 'find "y"'},
+        {"id": 9, "image_path": str(img_path), "problem": 'find "z"'},
     ]
+    # 3 rows at batch_size=2: the trailing PARTIAL batch is padded to the full
+    # batch dim (no recompile) and the padding row's results are dropped
     res_path, comp_path = infer_dataset(
         engine, dataset, str(tmp_path), batch_size=2, datasetname="unit", max_side=None
     )
     comps = [l for l in open(comp_path)]
-    assert len(comps) == 2
+    assert len(comps) == 3
     import json
 
     row = json.loads(comps[0])
