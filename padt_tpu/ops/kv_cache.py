@@ -113,6 +113,107 @@ def _decode_attention_int8_pallas(q, k8, ks, v8, vs, valid):
     )(q, k8, ks4, v8, vs4, valid3)
 
 
+# ---------------------------------------------------------------------------
+# Per-sample KV row store (serve engine): each slot writes its new token at
+# its OWN cache position. A vmapped dynamic_update_slice lowers to an XLA
+# scatter — measured +20 ms/step at 3B/64 slots (~2x decode cost). This kernel
+# aliases the cache buffers in place and DMAs only the 32-row tile containing
+# each slot's position (scalar-prefetch index map), ~17 KB per (slot, head).
+# ---------------------------------------------------------------------------
+
+_STORE_ROWS = 32  # int8 sublane tile granularity
+
+
+def _store_rows_kernel(
+    pos_ref, k8_ref, ks_ref, v8_ref, vs_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref,
+    k8o_ref, kso_ref, v8o_ref, vso_ref,
+):
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(0)
+    r = pos_ref[bi] % _STORE_ROWS
+    # row select instead of a dynamic sublane store (Mosaic requires stores to
+    # be provably 8-aligned in the sublane dim; a (32, d) masked where is free)
+    def put(o_ref, cur_ref, new_ref):
+        cur = cur_ref[0, 0]  # (R, d)
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0) == r
+        o_ref[0, 0] = jnp.where(rowmask, new_ref[0, 0], cur)
+
+    put(k8o_ref, k8_ref, k8n_ref)
+    put(kso_ref, ks_ref, ksn_ref)
+    put(v8o_ref, v8_ref, v8n_ref)
+    put(vso_ref, vs_ref, vsn_ref)
+
+
+def store_kv_rows(
+    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8
+    ks: jnp.ndarray,  # (B, Hkv, C) f32
+    v8: jnp.ndarray,
+    vs: jnp.ndarray,
+    k8n: jnp.ndarray,  # (B, Hkv, 1, hd) int8 — new token rows
+    ksn: jnp.ndarray,  # (B, Hkv, 1) f32
+    v8n: jnp.ndarray,
+    vsn: jnp.ndarray,
+    pos: jnp.ndarray,  # (B,) int32 — per-sample cache position
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Write each sample's new KV row at its own position, in place."""
+    from .attention import use_pallas
+
+    b, hkv, c, hd = k8.shape
+    if not use_pallas():
+        upd = jax.vmap(
+            lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0)), (0, 0, 0), 0
+        )
+        upd_s = jax.vmap(
+            lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p)), (0, 0, 0), 0
+        )
+        return upd(k8, k8n, pos), upd_s(ks, ksn, pos), upd(v8, v8n, pos), upd_s(vs, vsn, pos)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ks4 = ks.reshape(b, hkv, c, 1)
+    vs4 = vs.reshape(b, hkv, c, 1)
+    ksn4 = ksn.reshape(b, hkv, 1, 1)
+    vsn4 = vsn.reshape(b, hkv, 1, 1)
+    R = _STORE_ROWS
+    tile = lambda bi, hi, pos_r: (bi, hi, pos_r[bi] // R, 0)
+    row = lambda bi, hi, pos_r: (bi, hi, 0, 0)
+    spec_c8 = pl.BlockSpec((1, 1, R, hd), tile)
+    spec_cs = pl.BlockSpec((1, 1, R, 1), tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            spec_c8,
+            spec_cs,
+            spec_c8,
+            spec_cs,
+            pl.BlockSpec((1, 1, 1, hd), row),
+            pl.BlockSpec((1, 1, 1, 1), row),
+            pl.BlockSpec((1, 1, 1, hd), row),
+            pl.BlockSpec((1, 1, 1, 1), row),
+        ],
+        out_specs=[spec_c8, spec_cs, spec_c8, spec_cs],
+    )
+    k8o, ks4o, v8o, vs4o = pl.pallas_call(
+        _store_rows_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct(ks4.shape, ks4.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct(vs4.shape, vs4.dtype),
+        ],
+        # flat input indices INCLUDE the scalar-prefetch arg (pos=0)
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(pos, k8, ks4, v8, vs4, k8n, ksn4, v8n, vsn4)
+    return k8o, ks4o.reshape(b, hkv, c), v8o, vs4o.reshape(b, hkv, c)
+
+
 def decode_attention_int8(
     q: jnp.ndarray,  # (B, 1, H, hd) — current step query
     k8: jnp.ndarray,  # (B, Hkv, C, hd) int8

@@ -400,7 +400,10 @@ def _vis_flash_raw(qp, kp, vp, cos, sin, seg, scale, h: int, rope_dim: int,
     b, s, _ = qp.shape
     d = cos.shape[-1]
     dh = h * d
-    blk_q = blk_k = _pick_block(s)
+    import os as _os
+
+    blk_env = int(_os.environ.get("PADT_VIS_BLK", "0"))
+    blk_q = blk_k = (blk_env if blk_env and s % blk_env == 0 else _pick_block(s))
     n_qb = s // blk_q
     lo, hi = _kblock_ranges(seg, seg, blk_q, blk_k, causal=False)
 

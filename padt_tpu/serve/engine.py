@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..config import PaDTConfig
 from ..models import language
 from ..models import padt as padt_model
-from ..ops.kv_cache import decode_attention_int8, quantize_kv
+from ..ops.kv_cache import decode_attention_int8, quantize_kv, store_kv_rows
 from ..ops.norms import rms_norm
 from ..ops.quant import linear as qlinear
 from ..ops.rope import mrope_cos_sin
@@ -175,23 +175,17 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
     cur = state.valid[rows, state.write_pos]
     new_valid = state.valid.at[rows, state.write_pos].set(cur | state.active)
 
-    upd = jax.vmap(  # (B, Hkv, C, hd), (B, Hkv, 1, hd), (B,) -> scatter at [b, :, p, :]
-        lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0)), (0, 0, 0), 0
-    )
-    upd_s = jax.vmap(
-        lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p)), (0, 0, 0), 0
-    )
-
     def body(x, layer):
         lp, k8, ks, v8, vs = layer
         xn = rms_norm(x, lp["input_ln_w"], tcfg.rms_norm_eps)
         q, k, v = language._qkv(xn, lp, tcfg, cos, sin)
         k8n, ksn = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, 1, hd)
         v8n, vsn = quantize_kv(v.transpose(0, 2, 1, 3))
-        k8 = upd(k8, k8n, state.write_pos)
-        ks = upd_s(ks, ksn, state.write_pos)
-        v8 = upd(v8, v8n, state.write_pos)
-        vs = upd_s(vs, vsn, state.write_pos)
+        # in-place aliased row store (a vmapped dynamic_update_slice lowers to
+        # an XLA scatter: measured +20 ms/step at 3B/64 slots)
+        k8, ks, v8, vs = store_kv_rows(
+            k8, ks, v8, vs, k8n, ksn, v8n, vsn, state.write_pos
+        )
         attn = decode_attention_int8(q, k8, ks, v8, vs, new_valid)
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], tcfg.rms_norm_eps)
@@ -330,6 +324,13 @@ class ServeEngine:
         self._chunk = jax.jit(
             lambda p, st: decode_chunk(p, c, st, nsteps), donate_argnums=(1,)
         )
+        # jitted host-loop helpers are cached HERE: a fresh lambda per run()
+        # (or a harvest gather whose index length varies) recompiles inside the
+        # timed loop — 1-8 min per compile on this backend
+        self._flags = jax.jit(
+            lambda st: jnp.concatenate([st.active.astype(jnp.int32), st.n_gen])
+        )
+        self._gather = jax.jit(lambda arr, idx: arr[idx])  # idx always (n_slots,)
 
     def _make_bucket(self, reqs: List[Request]) -> Tuple[Dict, jnp.ndarray, np.ndarray]:
         r = self.prefill_bucket
@@ -345,8 +346,11 @@ class ServeEngine:
                     "(build them with processor.build_batch(prompt_bucket=..., "
                     "patch_bucket=...))"
                 )
-            # position_ids carries the 3 M-RoPE streams in axis 0; batch is axis 1
-            stack[k] = jnp.asarray(np.concatenate(rows, axis=1 if k == "position_ids" else 0))
+            # jnp.concatenate: device-resident request leaves stay on device
+            # (an np.concatenate here pulled every refill's pixels back through
+            # the host — at axon-tunnel bandwidth that alone sank the engine).
+            # position_ids carries the 3 M-RoPE streams in axis 0; batch is axis 1.
+            stack[k] = jnp.concatenate(rows, axis=1 if k == "position_ids" else 0)
         deltas = jnp.asarray(
             np.array([q.rope_delta for q in reqs] + [0] * pad, np.int32)
         )
@@ -364,7 +368,10 @@ class ServeEngine:
         t_start = time.perf_counter()
 
         def sync_flags():
-            return np.asarray(self.state.active), np.asarray(self.state.n_gen)
+            # ONE dispatch + ONE readback per chunk (two np.asarray calls cost
+            # two ~40 ms host round-trips each on the axon backend)
+            both = np.asarray(self._flags(self.state))
+            return both[: self.n_slots].astype(bool), both[self.n_slots :]
 
         while pending or occupant:
             # ---- refill ----
@@ -377,7 +384,9 @@ class ServeEngine:
                 self.state = self._insert(
                     self.state, pack, jnp.asarray(np.array(slots, np.int32)), jnp.asarray(budgets)
                 )
-                _ = float(np.asarray(self.state.write_pos[0]))  # sync (axon: readback)
+                # no sync: dispatch stays async (the next chunk's flag readback
+                # orders everything); prefill_s is therefore dispatch-side time
+                # and the device-side cost lands in decode_s
                 stats.prefill_s += time.perf_counter() - t0
                 for i, q in enumerate(take):
                     occupant[slots[i]] = q
@@ -395,17 +404,20 @@ class ServeEngine:
             # ---- harvest finished slots ----
             done = [s for s in occupant if not active[s]]
             if done:
-                tok_rows = np.asarray(self.state.tokens[np.array(done)])
-                # device-side gather COPIES the rows, so slot reuse can't
-                # clobber them; stays lazy (no tunnel readback) until consumed
-                hid_rows = self.state.hidden_out[np.array(done)] if self.collect_hidden else None
+                # device-side gathers COPY the rows, so slot reuse can't
+                # clobber them; they stay lazy (no tunnel readback) until the
+                # run finishes. The index vector is PADDED to n_slots so every
+                # harvest reuses one compiled gather.
+                idx = np.array(done + [done[0]] * (self.n_slots - len(done)), np.int32)
+                tok_rows = self._gather(self.state.tokens, idx)
+                hid_rows = self._gather(self.state.hidden_out, idx) if self.collect_hidden else None
                 for jd, s in enumerate(done):
                     q = occupant.pop(s)
                     ng = int(n_gen[s])
                     results.append(
                         Completion(
                             uid=q.uid,
-                            tokens=tok_rows[jd, :ng].copy(),
+                            tokens=tok_rows[jd],  # device row; trimmed below
                             n_gen=ng,
                             hidden=None if hid_rows is None else hid_rows[jd],
                         )
@@ -414,7 +426,14 @@ class ServeEngine:
                     stats.completions += 1
                     free.append(s)
 
+        # serving hands completions off device-resident (e.g. straight into
+        # vl_decode); the wall clock stops here and the host materialization
+        # below is for the Completion API's numpy contract
         stats.wall_s = time.perf_counter() - t_start
+        if results:
+            all_tok = np.asarray(jnp.stack([c.tokens for c in results]))
+            for i, c in enumerate(results):
+                c.tokens = all_tok[i, : c.n_gen].copy()
         if stats.decode_steps:
             stats.slot_step_utilization = stats.generated_tokens / (
                 stats.decode_steps * self.n_slots

@@ -1,0 +1,192 @@
+"""Serving benchmark: slot-recycled continuous batching vs fixed-batch generate
+on a mixed REC/OVD-length workload.
+
+The reference's eval serving steps a fixed batch until its LONGEST completion
+finishes (`inference_coco.py:107`, decode budget max_new_tokens=1024,
+`utils.py:233-236`): short REC completions (~25 tokens) ride along for a
+long-tail OVD straggler's hundreds of steps. This bench reproduces that tail:
+75% of requests budget `rec` tokens, ~19% `ovd`, ~6% `tail` (shuffled), so
+nearly every fixed batch contains a straggler and must run to the tail
+length, while the engine recycles each slot the moment its request finishes.
+
+Useful-token throughput = sum(per-request budgets) / wall. Request batches
+are staged on device up front for BOTH paths (in real serving the host->device
+copy overlaps compute; over the axon tunnel it would otherwise dominate).
+
+Prints ONE JSON line. Env: PADT_SERVE_SMALL=1 (tiny CPU config),
+PADT_SERVE_REQUESTS / PADT_SERVE_SLOTS / PADT_SERVE_REC / PADT_SERVE_OVD,
+PADT_SERVE_SKIP_NAIVE=1 (engine only; vs_baseline falls back to 1.0).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _workload():
+    from padt_tpu.config import padt_3b, padt_tiny
+
+    if os.environ.get("PADT_SERVE_SMALL", "0") == "1":
+        cfg = padt_tiny().replace(max_image_patches=256)
+        return cfg, dict(grid=(1, 8, 12), n_requests=8, n_slots=4, bucket=2,
+                         rec=4, ovd=12, tail=16, chunk_steps=4, prompt_extra=8)
+    cfg = padt_3b().replace(max_image_patches=2304, vision_chunk_size=16)
+    return cfg, dict(
+        grid=(1, 46, 46),
+        n_requests=int(os.environ.get("PADT_SERVE_REQUESTS", "256")),
+        # 64 slots: the naive baseline at 96 x capacity-896 OOMs on one
+        # v5e chip (bf16 prefill cache + quantize transposes ~6.3 GB)
+        n_slots=int(os.environ.get("PADT_SERVE_SLOTS", "64")),
+        # bucket 8: prefill transients (vision activations + bf16 cache +
+        # quantize copies) must coexist with the slot-pool state in HBM
+        bucket=8,
+        rec=int(os.environ.get("PADT_SERVE_REC", "25")),
+        ovd=int(os.environ.get("PADT_SERVE_OVD", "200")),
+        tail=int(os.environ.get("PADT_SERVE_TAIL", "640")),
+        chunk_steps=16,
+        prompt_extra=40,
+    )
+
+
+def _build_sample(cfg, grid, prompt_extra):
+    """One request's device-ready arrays (leading dim 1), bench.py-style."""
+    import jax.numpy as jnp
+
+    from padt_tpu.models.mrope_index import get_rope_index
+    from padt_tpu.models.vision_geom import vision_geometry
+
+    s_max = cfg.max_image_patches
+    geom = vision_geometry([grid], s_max)
+    rng = np.random.RandomState(0)
+    pix = rng.randn(1, s_max, cfg.vision.patch_input_dim).astype(np.float32)
+    nm = grid[0] * grid[1] * grid[2] // 4
+    l = -(-(nm + prompt_extra + 8) // 64) * 64
+    ids = np.full((1, l), cfg.pad_token_id, np.int64)
+    am = np.zeros((1, l), np.int64)
+    seq = [cfg.vision_start_token_id] + [cfg.image_token_id] * nm + list(
+        range(1000, 1000 + prompt_extra)
+    )
+    ids[0, l - len(seq):] = seq
+    am[0, l - len(seq):] = 1
+    pos, deltas = get_rope_index(ids, am, np.array([grid]), cfg.image_token_id)
+    batch = dict(
+        pixel_patches=pix.astype(np.float32),
+        window_index=np.asarray(geom.window_index),
+        inv_window_index=np.asarray(geom.inv_window_index),
+        seg_win=np.asarray(geom.seg_win),
+        seg_full=np.asarray(geom.seg_full),
+        hpos=np.asarray(geom.hpos),
+        wpos=np.asarray(geom.wpos),
+        num_merged=np.asarray(geom.num_merged),
+        num_patches=np.asarray(geom.num_patches),
+        grid_thw=np.asarray(geom.grid_thw),
+        input_ids=np.asarray(ids, np.int32),
+        attention_mask=np.asarray(am, np.int32),
+        position_ids=np.asarray(pos),
+    )
+    return batch, int(deltas[0]), l
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from padt_tpu.models import padt as P
+    from padt_tpu.serve import Request, ServeEngine
+
+    cfg, w = _workload()
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
+    sample, delta, prompt_len = _build_sample(cfg, w["grid"], w["prompt_extra"])
+
+    # 12:3:1 rec/ovd/tail mix, deterministically shuffled — the reference's
+    # completion-length distribution (REC ~25, OVD hundreds, budget 1024)
+    pattern = [w["rec"]] * 12 + [w["ovd"]] * 3 + [w["tail"]]
+    budgets = [pattern[i % len(pattern)] for i in range(w["n_requests"])]
+    np.random.RandomState(7).shuffle(budgets)
+    useful = sum(budgets)
+    max_new = max(budgets)
+
+    # stage the (shared) request arrays on device once — both paths read them
+    # from HBM; nothing crosses the host link inside the timed regions
+    sample = {k: jnp.asarray(v, jnp.bfloat16 if k == "pixel_patches" else None)
+              for k, v in sample.items()}
+    jax.block_until_ready(list(sample.values()))
+
+    # ---- engine ----
+    eng = ServeEngine(
+        params, cfg, n_slots=w["n_slots"], max_new_tokens=max_new,
+        prompt_len=prompt_len, prefill_bucket=w["bucket"],
+        chunk_steps=w["chunk_steps"], patch_bucket=cfg.max_image_patches,
+    )
+    reqs = [
+        Request(batch=sample, rope_delta=delta, max_new_tokens=budgets[i], uid=i)
+        for i in range(w["n_requests"])
+    ]
+    # warm the compiles outside the timed run (prefill/insert/chunk)
+    warm = [Request(batch=sample, rope_delta=delta, max_new_tokens=1, uid=-1 - i)
+            for i in range(w["bucket"])]
+    eng.run(warm)
+    results, stats = eng.run(reqs)
+    assert stats.completions == w["n_requests"]
+    assert stats.generated_tokens == useful, (stats.generated_tokens, useful)
+    engine_tps = useful / stats.wall_s
+
+    # ---- naive fixed-batch baseline ----
+    # every fixed batch runs to ITS longest budget (the all-EOS early exit a
+    # real checkpoint would hit); with the shuffled tail mix that is the tail
+    # length for (almost) every batch — one compile at max_new
+    naive_tps = None
+    if os.environ.get("PADT_SERVE_SKIP_NAIVE", "0") != "1":
+        b = w["n_slots"]
+        nb = -(-w["n_requests"] // b)
+        naive_steps = sum(
+            max(budgets[i * b : (i + 1) * b]) for i in range(nb)
+        )
+        batch = {
+            k: jnp.repeat(v, b, axis=1 if k == "position_ids" else 0)
+            for k, v in sample.items()
+        }
+        deltas = jnp.full((b,), delta, jnp.int32)
+        gen = jax.jit(
+            lambda p, bt, d: P.generate(p, cfg, bt, max_new, d, kv_cache_dtype="int8")
+        )
+        out = gen(params, batch, deltas)
+        _ = np.asarray(out.tokens)  # compile+warm (host readback = sync on axon)
+        t0 = time.perf_counter()
+        for _ in range(nb):
+            out = gen(params, batch, deltas)
+            _ = np.asarray(out.tokens)
+        naive_wall = time.perf_counter() - t0
+        # credit the baseline for per-batch early exit it would get with real
+        # weights: scale the measured full-length wall to its actual step need
+        naive_wall = naive_wall * naive_steps / (nb * max_new)
+        naive_tps = useful / naive_wall
+
+    result = {
+        "metric": "serve_useful_tokens_per_sec",
+        "value": round(engine_tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(engine_tps / naive_tps, 3) if naive_tps else 1.0,
+        "detail": {
+            "n_requests": w["n_requests"],
+            "n_slots": w["n_slots"],
+            "budgets": f"{w['rec']}x12/{w['ovd']}x3/{w['tail']}x1 shuffled",
+            "engine_wall_s": round(stats.wall_s, 3),
+            "engine_prefill_s": round(stats.prefill_s, 3),
+            "engine_decode_s": round(stats.decode_s, 3),
+            "slot_step_utilization": round(stats.slot_step_utilization, 3),
+            "naive_tokens_per_sec": round(naive_tps, 2) if naive_tps else None,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

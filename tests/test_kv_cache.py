@@ -94,6 +94,42 @@ def test_int8_decode_step_close_to_bf16():
     np.testing.assert_allclose(k_new_int8, k_new_bf16.transpose(0, 1, 2, 3), atol=np.abs(k_new_bf16).max() / 100)
 
 
+@pytest.mark.smoke
+def test_store_kv_rows_matches_scatter():
+    """In-place aliased row store (serve engine) vs the XLA scatter oracle:
+    every slot's new row lands at its OWN position; everything else intact."""
+    rng = np.random.RandomState(4)
+    b, hkv, c, hd = 4, 2, 256, 128
+    k8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, c)), jnp.float32)
+    k8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    v8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    ksn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    vsn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    pos = jnp.asarray([3, 97, 160, 255], jnp.int32)  # incl. tile-boundary rows
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        refs = KV.store_kv_rows(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    if ON_TPU:
+        outs = KV.store_kv_rows(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos)
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        os.environ["PADT_PALLAS"] = "1"
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                outs = KV.store_kv_rows(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos)
+        finally:
+            os.environ["PADT_PALLAS"] = "auto"
+    for o, r in zip(outs, refs):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+
+
 def test_int8_generate_runs_tiny():
     """Full generate() with kv_cache_dtype='int8' on the tiny model: correct
     shapes, finite outputs, EOS bookkeeping intact."""
