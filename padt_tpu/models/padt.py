@@ -223,6 +223,34 @@ def forward_train(
 # Generation (prefill + fused while_loop decode)
 # ---------------------------------------------------------------------------
 
+def sample_token(
+    logits: jnp.ndarray,  # (B, Vext)
+    key,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+) -> jnp.ndarray:
+    """Greedy or temperature/top-k/top-p sampling over one step's logits
+    (reference HF sampling surface, `padt.py:618-800`). Shared by `generate`
+    and the serve engine's decode loop."""
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k is not None and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p is not None and top_p < 1.0:
+        # nucleus: drop tokens outside the smallest set with cum prob >= top_p
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p  # always keep the argmax
+        threshold = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits < threshold, NEG_INF, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 class GenerateOutput(NamedTuple):
     tokens: jnp.ndarray  # (B, T) int32 — generated tokens (pad after EOS)
     hidden: jnp.ndarray  # (B, T, D) — final-layer hidden that PRODUCED each token
@@ -282,21 +310,7 @@ def generate(
 
     def select_token(h, key):
         logits = extended_logits(params, cfg, h, art.proto, art.num_merged)[:, 0]  # (B, Vext)
-        if not do_sample:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        logits = logits / temperature
-        if top_k is not None and top_k > 0:
-            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
-            logits = jnp.where(logits < kth, NEG_INF, logits)
-        if top_p is not None and top_p < 1.0:
-            # nucleus: drop tokens outside the smallest set with cum prob >= top_p
-            sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(sorted_logits, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            keep = cum - probs < top_p  # always keep the argmax
-            threshold = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
-            logits = jnp.where(logits < threshold, NEG_INF, logits)
-        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        return sample_token(logits, key, do_sample, temperature, top_k, top_p)
 
     def cond(carry):
         step, finished, *_ = carry

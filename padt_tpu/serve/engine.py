@@ -17,7 +17,9 @@ Decode state is int8-KV only (the serving configuration measured fastest in
 BASELINE.md); the decode step reuses `ops.kv_cache.decode_attention_int8`,
 whose per-sample `valid` mask already expresses ragged per-slot lengths.
 
-Greedy decoding (the reference eval path, `utils.py:233-236`).
+Greedy by default (the reference eval path, `utils.py:233-236`); temperature /
+top-k / top-p sampling available via the engine's sampling args (shared
+`padt.sample_token` logic, one pool-wide PRNG stream).
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ class DecodeState(NamedTuple):
     n_gen: jnp.ndarray  # (B,) int32
     budget: jnp.ndarray  # (B,) int32 — per-request max_new_tokens
     active: jnp.ndarray  # (B,) bool
+    rng: jnp.ndarray  # PRNG key (sampling; unused under greedy)
 
 
 class PrefillPack(NamedTuple):
@@ -103,6 +106,7 @@ def init_state(
         n_gen=jnp.zeros((n_slots,), jnp.int32),
         budget=jnp.zeros((n_slots,), jnp.int32),
         active=jnp.zeros((n_slots,), bool),
+        rng=jax.random.PRNGKey(0),
     )
 
 
@@ -199,11 +203,21 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
 
 
-def decode_chunk(params, cfg: PaDTConfig, state: DecodeState, n_steps: int) -> DecodeState:
+def decode_chunk(
+    params,
+    cfg: PaDTConfig,
+    state: DecodeState,
+    n_steps: int,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+) -> DecodeState:
     """Advance every active slot `n_steps` tokens (one fused device program).
 
-    Token selection mirrors `padt.generate`'s greedy branch: extended logits
-    over each slot's own prototype table. Early-exits when the pool drains."""
+    Token selection mirrors `padt.generate` (greedy by default, or
+    temperature/top-k/top-p via `state.rng`): extended logits over each slot's
+    own prototype table. Early-exits when the pool drains."""
     eos = cfg.eos_token_id
     b, t_cap = state.tokens.shape
 
@@ -216,7 +230,9 @@ def decode_chunk(params, cfg: PaDTConfig, state: DecodeState, n_steps: int) -> D
         logits = padt_model.extended_logits(
             params, cfg, st.cur_hidden, st.proto, st.num_merged
         )[:, 0]
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        key, sub = jax.random.split(st.rng)
+        st = st._replace(rng=key)
+        tok = padt_model.sample_token(logits, sub, do_sample, temperature, top_k, top_p)
         tok = jnp.where(st.active, tok, cfg.pad_token_id)
         idx = jnp.clip(st.n_gen, 0, t_cap - 1)
         rows = jnp.arange(b)
@@ -301,6 +317,11 @@ class ServeEngine:
         chunk_steps: int = 16,
         collect_hidden: bool = False,
         patch_bucket: Optional[int] = None,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        seed: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -315,6 +336,7 @@ class ServeEngine:
         self.state = init_state(
             cfg, n_slots, self.capacity, max_new_tokens, dtype, patch_bucket=patch_bucket
         )
+        self.state = self.state._replace(rng=jax.random.PRNGKey(seed))
 
         c = self.cfg
         capi = self.capacity
@@ -322,7 +344,10 @@ class ServeEngine:
         self._insert = jax.jit(insert, donate_argnums=(0,))
         nsteps = self.chunk_steps
         self._chunk = jax.jit(
-            lambda p, st: decode_chunk(p, c, st, nsteps), donate_argnums=(1,)
+            lambda p, st: decode_chunk(
+                p, c, st, nsteps, do_sample, temperature, top_k, top_p
+            ),
+            donate_argnums=(1,),
         )
         # jitted host-loop helpers are cached HERE: a fresh lambda per run()
         # (or a harvest gather whose index length varies) recompiles inside the

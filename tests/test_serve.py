@@ -82,6 +82,32 @@ def test_engine_matches_generate_with_recycling():
 
 
 @pytest.mark.smoke
+def test_engine_sampling():
+    """Sampled decoding: deterministic under a fixed seed, different across
+    seeds (on a flat random-logit model), budget bookkeeping intact."""
+    cfg, params, batches = _setup(n_requests=2, seed=3)
+    prompt_len = batches[0].data["input_ids"].shape[1]
+
+    def run(seed):
+        eng = ServeEngine(
+            params, cfg, n_slots=2, max_new_tokens=8, prompt_len=prompt_len,
+            prefill_bucket=2, chunk_steps=4, patch_bucket=128,
+            do_sample=True, temperature=1.3, top_k=50, seed=seed,
+        )
+        reqs = [
+            Request(batch=b.data, rope_delta=int(b.rope_deltas[0]), max_new_tokens=6, uid=i)
+            for i, b in enumerate(batches)
+        ]
+        results, _ = run_res = eng.run(reqs)
+        return {c.uid: c.tokens.tolist() for c in results}
+
+    a1, a2, b1 = run(11), run(11), run(12)
+    assert a1 == a2, "same seed must reproduce"
+    assert a1 != b1, "different seeds should sample differently"
+    assert all(len(v) <= 6 for v in a1.values())
+
+
+@pytest.mark.smoke
 def test_engine_bucket_padding_and_idle_slots():
     """Bucket 2 with 3 requests: the last refill pads with a budget-0 dummy,
     whose slot must come back free without emitting a completion."""
