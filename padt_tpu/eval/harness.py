@@ -123,8 +123,78 @@ class InferenceEngine:
         jbatch = {k: jnp.asarray(v, jnp.bfloat16) if k == "pixel_patches" else jnp.asarray(v) for k, v in batch.data.items()}
         key = (batch.data["input_ids"].shape, batch.data["pixel_patches"].shape)
         out = self._generate_fn(key)(self.params, jbatch, jnp.asarray(batch.rope_deltas))
+        return self._postprocess(np.asarray(out.tokens), out.hidden, out.artifacts, image_sizes)
 
-        tokens = np.asarray(out.tokens)
+    def run_stream(
+        self,
+        prompts: List[str],
+        images: List[Any],
+        image_sizes: Optional[List[Tuple[int, int]]] = None,
+        n_slots: int = 16,
+        prefill_bucket: int = 4,
+        chunk_steps: int = 8,
+        prompt_bucket: Optional[int] = None,
+        patch_bucket: Optional[int] = None,
+    ) -> List[SampleResult]:
+        """`run_batch` semantics through the continuous-batching serve engine
+        (`padt_tpu.serve`): requests flow through a slot-recycled decode pool
+        (EOS frees a slot immediately instead of idling until the batch's
+        longest completion), then the standard parse -> vl_decode tail runs on
+        the device-resident hidden states + per-request vision artifacts."""
+        from ..serve import Request, ServeEngine
+
+        cfg, proc = self.cfg, self.processor
+        from ..preprocess.vision_process import ProcessedImage
+
+        if image_sizes is None:
+            image_sizes = []
+            for img in images:
+                if isinstance(img, ProcessedImage):
+                    _, h, w = img.grid_thw
+                    image_sizes.append((w * cfg.vision.patch_size, h * cfg.vision.patch_size))
+                else:
+                    image_sizes.append(img.size)
+        pb = patch_bucket or cfg.max_image_patches
+        batches = [
+            proc.build_batch([p], [img], patch_bucket=pb, prompt_bucket=prompt_bucket)
+            for p, img in zip(prompts, images)
+        ]
+        if prompt_bucket is None:
+            prompt_bucket = max(b.data["input_ids"].shape[1] for b in batches)
+            batches = [
+                proc.build_batch([p], [img], patch_bucket=pb, prompt_bucket=prompt_bucket)
+                for p, img in zip(prompts, images)
+            ]
+        reqs = [
+            Request(
+                batch={
+                    k: jnp.asarray(v, jnp.bfloat16) if k == "pixel_patches" else jnp.asarray(v)
+                    for k, v in b.data.items()
+                },
+                rope_delta=int(b.rope_deltas[0]),
+                max_new_tokens=self.max_new_tokens,
+                uid=i,
+            )
+            for i, b in enumerate(batches)
+        ]
+        eng = ServeEngine(
+            self.params, cfg, n_slots=min(n_slots, len(reqs)),
+            max_new_tokens=self.max_new_tokens, prompt_len=prompt_bucket,
+            prefill_bucket=prefill_bucket, chunk_steps=chunk_steps,
+            collect_hidden=True, patch_bucket=pb, keep_artifacts=True,
+        )
+        comps, _ = eng.run(reqs)
+        comps.sort(key=lambda c: c.uid)
+        b = len(comps)
+        tokens = np.full((b, self.max_new_tokens), cfg.pad_token_id, np.int64)
+        for i, c in enumerate(comps):
+            tokens[i, : c.n_gen] = c.tokens
+        hidden = jnp.stack([c.hidden for c in comps])
+        art = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *[c.artifacts for c in comps])
+        return self._postprocess(tokens, hidden, art, image_sizes)
+
+    def _postprocess(self, tokens, hidden, art, image_sizes) -> List[SampleResult]:
+        cfg, proc = self.cfg, self.processor
         b = tokens.shape[0]
         token_strs = [proc.token_strings(tokens[i]) for i in range(b)]
         parsed = parse_vrt_completions(token_strs, tokens, cfg.text.vocab_size)
@@ -136,10 +206,10 @@ class InferenceEngine:
 
         n_max = -(-max(cfg.max_objects, len(objects)) // cfg.max_objects) * cfg.max_objects
         obj_sample, gather_pos, counts, valid = pack_objects(objects, n_max, cfg.max_vrt_per_object)
-        feats = gather_vrt_feats(out.hidden, jnp.asarray(obj_sample), jnp.asarray(gather_pos))
+        feats = gather_vrt_feats(hidden, jnp.asarray(obj_sample), jnp.asarray(gather_pos))
         dec = self._decode_fn()(
             self.params, feats, jnp.asarray(counts), jnp.asarray(valid),
-            jnp.asarray(obj_sample), out.artifacts,
+            jnp.asarray(obj_sample), art,
         )
         boxes = np.asarray(dec.pred_boxes, np.float64)
         scores = 1.0 / (1.0 + np.exp(-np.asarray(dec.pred_score, np.float64)[:, 0]))

@@ -111,9 +111,18 @@ def init_state(
 
 
 def prefill(
-    params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], rope_deltas: jnp.ndarray, capacity: int
-) -> PrefillPack:
-    """Vision + causal prefill for a request bucket -> insertable pack."""
+    params,
+    cfg: PaDTConfig,
+    batch: Dict[str, jnp.ndarray],
+    rope_deltas: jnp.ndarray,
+    capacity: int,
+    return_artifacts: bool = False,
+):
+    """Vision + causal prefill for a request bucket -> insertable pack.
+
+    `return_artifacts=True` additionally returns the bucket's full
+    `VisionArtifacts` so a serving pipeline can run the perception decoder
+    (`padt.vl_decode`) on completed requests (~8 MB/request device-resident)."""
     l = batch["input_ids"].shape[1]
     art = padt_model.run_vision(params, cfg, batch)
     embeds = padt_model.extended_embed(params, cfg, batch["input_ids"], art.proto, art.merged)
@@ -123,7 +132,7 @@ def prefill(
     )
     qc = language.quantize_cache(cache)
     r = batch["input_ids"].shape[0]
-    return PrefillPack(
+    pack = PrefillPack(
         k8=qc.k,
         ks=qc.k_scale,
         v8=qc.v,
@@ -135,6 +144,7 @@ def prefill(
         proto=art.proto,
         num_merged=art.num_merged.astype(jnp.int32),
     )
+    return (pack, art) if return_artifacts else pack
 
 
 def insert(
@@ -279,6 +289,7 @@ class Completion:
     tokens: np.ndarray  # (n_gen,) int32
     n_gen: int
     hidden: Optional[jnp.ndarray] = None  # (T, D) device array (collect_hidden=True)
+    artifacts: Optional[Any] = None  # single-request VisionArtifacts (keep_artifacts=True)
 
 
 @dataclass
@@ -322,6 +333,7 @@ class ServeEngine:
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
         seed: int = 0,
+        keep_artifacts: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -330,6 +342,9 @@ class ServeEngine:
         self.prefill_bucket = min(prefill_bucket, n_slots)
         self.chunk_steps = chunk_steps
         self.collect_hidden = collect_hidden
+        # keep each in-flight request's VisionArtifacts (device-resident,
+        # ~8 MB/request at 3B/2304 patches) so completions can run vl_decode
+        self.keep_artifacts = keep_artifacts
         cap = prompt_len + max_new_tokens
         self.capacity = -(-cap // 128) * 128
         dtype = jax.tree.leaves(params)[0].dtype
@@ -340,7 +355,8 @@ class ServeEngine:
 
         c = self.cfg
         capi = self.capacity
-        self._prefill = jax.jit(lambda p, b, d: prefill(p, c, b, d, capi))
+        ka = keep_artifacts
+        self._prefill = jax.jit(lambda p, b, d: prefill(p, c, b, d, capi, return_artifacts=ka))
         self._insert = jax.jit(insert, donate_argnums=(0,))
         nsteps = self.chunk_steps
         self._chunk = jax.jit(
@@ -388,6 +404,7 @@ class ServeEngine:
         pending = deque(requests)
         free: List[int] = list(range(self.n_slots))
         occupant: Dict[int, Request] = {}
+        slot_art: Dict[int, Any] = {}  # keep_artifacts: per-slot VisionArtifacts
         results: List[Completion] = []
         stats = ServeStats()
         t_start = time.perf_counter()
@@ -405,7 +422,8 @@ class ServeEngine:
                 slots = [free.pop() for _ in range(self.prefill_bucket)]
                 stack, deltas, budgets = self._make_bucket(take)
                 t0 = time.perf_counter()
-                pack = self._prefill(self.params, stack, deltas)
+                out = self._prefill(self.params, stack, deltas)
+                pack, art = out if self.keep_artifacts else (out, None)
                 self.state = self._insert(
                     self.state, pack, jnp.asarray(np.array(slots, np.int32)), jnp.asarray(budgets)
                 )
@@ -415,6 +433,9 @@ class ServeEngine:
                 stats.prefill_s += time.perf_counter() - t0
                 for i, q in enumerate(take):
                     occupant[slots[i]] = q
+                    if art is not None:
+                        # per-request artifact slice (device-side; leading dim 1)
+                        slot_art[slots[i]] = jax.tree.map(lambda x: x[i : i + 1], art)
                 # padding slots go straight back to the free list
                 for s in slots[len(take):]:
                     free.append(s)
@@ -445,6 +466,7 @@ class ServeEngine:
                             tokens=tok_rows[jd],  # device row; trimmed below
                             n_gen=ng,
                             hidden=None if hid_rows is None else hid_rows[jd],
+                            artifacts=slot_art.pop(s, None),
                         )
                     )
                     stats.generated_tokens += ng

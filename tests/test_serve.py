@@ -82,6 +82,36 @@ def test_engine_matches_generate_with_recycling():
 
 
 @pytest.mark.smoke
+def test_run_stream_matches_run_batch():
+    """InferenceEngine.run_stream (serve-engine backend incl. per-request
+    artifacts -> vl_decode) vs run_batch on the same inputs: same completions
+    and object geometry (int8-KV decode in the stream path is the serving
+    default; on the tiny fp32 model greedy tokens match the bf16-cache path)."""
+    from padt_tpu.eval.harness import InferenceEngine
+
+    cfg, params, batches = _setup(n_requests=3, seed=11)
+    tok = make_tiny_tokenizer(cfg)
+    proc = VisionTextProcessor(tok, cfg, seq_bucket=32, patch_bucket=128)
+    proc.prepare(cfg.text.vocab_size)
+    rng = np.random.RandomState(11)
+    imgs = [ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12)) for _ in range(3)]
+    prompts = ['find "a"', 'find "b"', 'find "c"']
+
+    eng = InferenceEngine(params, cfg, proc, max_new_tokens=8, canvas_hw=(9, 9))
+    ref = eng.run_batch(prompts, imgs, patch_bucket=128, prompt_bucket=128)
+    got = eng.run_stream(
+        prompts, imgs, n_slots=2, prefill_bucket=1, chunk_steps=3,
+        prompt_bucket=128, patch_bucket=128,
+    )
+    assert [r.completion for r in got] == [r.completion for r in ref]
+    for g, r in zip(got, ref):
+        assert len(g.objects) == len(r.objects)
+        for go, ro in zip(g.objects, r.objects):
+            assert go.label == ro.label
+            np.testing.assert_allclose(go.bbox_xywh_px, ro.bbox_xywh_px, atol=2)
+
+
+@pytest.mark.smoke
 def test_engine_sampling():
     """Sampled decoding: deterministic under a fixed seed, different across
     seeds (on a flat random-logit model), budget bookkeeping intact."""
