@@ -37,6 +37,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _dot_precision(dtype):
+    """bf16 inputs under a global 'highest' matmul default break Mosaic
+    lowering (it tries to emulate multi-pass precision on low-precision
+    storage — the round-1 int8-kernel failure mode, resurfaced when the fp32
+    upcasts were removed from these kernels). Pin DEFAULT for bf16; fp32
+    inherits the global setting (the exact-parity tests rely on 'highest')."""
+    return jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16 else None
+
+
 def _fwd_kernel(
     lo_ref, hi_ref, q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, o_ref,
     *, blk_k: int, causal: bool, scale: float,
@@ -67,7 +76,8 @@ def _fwd_kernel(
         v = v_ref[0, 0, pl.ds(kb * blk_k, blk_k), :]
         kseg = k_seg_ref[0, 0, pl.ds(kb * blk_k, blk_k)].reshape(1, blk_k)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype),
         ) * scale  # (blk_q, blk_k) f32
         mask = (qseg == kseg) & (kseg >= 0)
         if causal:
@@ -83,6 +93,7 @@ def _fwd_kernel(
         acc_new = acc * corr + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(v.dtype),
         )
         return m_new, l_new, acc_new
 
@@ -371,7 +382,8 @@ def _vis_fwd_kernel(
         v = v_ref[0, pl.ds(kb * blk_k, blk_k), :]
         kseg = k_seg_ref[0, 0, pl.ds(kb * blk_k, blk_k)].reshape(1, blk_k)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype),
         ) * scale
         mask = (qseg == kseg) & (kseg >= 0)
         s = jnp.where(mask, s, NEG_INF)
@@ -384,6 +396,7 @@ def _vis_fwd_kernel(
         acc_new = acc * corr + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(v.dtype),
         )
         return m_new, l_new, acc_new
 
