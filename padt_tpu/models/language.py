@@ -158,13 +158,29 @@ def prefill(
     transient exists (padding the stacked (layers, B, L, ...) output after the
     fact would briefly hold prefill-size + capacity-size copies — ~2.4 GB extra
     at 3B/batch-48 shapes)."""
+    from ..ops.attention import use_pallas
+
     b, l, _ = inputs_embeds.shape
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
     pad = [(0, 0), (0, capacity - l), (0, 0), (0, 0)]
+    # fused single-pass rope kernel (inference path; ~270 ms of unfused XLA
+    # elementwise at 3B/batch-96 otherwise). Training (text_forward) keeps the
+    # XLA rope for its VJP.
+    fused_rope = use_pallas() and l % 128 == 0 and cfg.head_dim % 128 == 0
+    h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     def body(x, lp):
         xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
-        q, k, v = _qkv(xn, lp, cfg, cos, sin)
+        if fused_rope:
+            from ..ops.pallas_attention import rope_pair_packed
+
+            qp = qlinear(lp, "q_w", xn) + lp["q_b"]  # (B, L, H*hd) packed
+            kp = qlinear(lp, "k_w", xn) + lp["k_b"]  # (B, L, Hkv*hd)
+            v = (qlinear(lp, "v_w", xn) + lp["v_b"]).reshape(b, l, hkv, hd)
+            qr, kr = rope_pair_packed(qp, kp, cos, sin, h, hkv)
+            q, k = qr.reshape(b, l, h, hd), kr.reshape(b, l, hkv, hd)
+        else:
+            q, k, v = _qkv(xn, lp, cfg, cos, sin)
         attn = causal_attention(q, k, v, valid)
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)

@@ -322,7 +322,10 @@ def _rope_pair_kernel(q_ref, k_ref, cos_ref, sin_ref, oq_ref, ok_ref, *, rope_di
     ok_ref[0] = (kf * c + _rot_half_lanes(kf, rope_dim) * s).astype(ok_ref.dtype)
 
 
-def _rope_pair(qp, kp, cos, sin, h: int, rope_dim: int, k_blk_offset: int = 0):
+def _rope_pair(
+    qp, kp, cos, sin, h: int, rope_dim: int, k_blk_offset: int = 0,
+    h_k: Optional[int] = None,
+):
     """One fused fp32 rope pass over packed (B, S, H*d) q and k.
 
     XLA leaves the rotate_half chain unfused at these shapes (~1.3 s of HBM
@@ -333,32 +336,49 @@ def _rope_pair(qp, kp, cos, sin, h: int, rope_dim: int, k_blk_offset: int = 0):
 
     `k_blk_offset`: lane-block offset of k's heads inside `kp` — lets the
     kernel read q and k straight out of the FUSED (B, S, 3*H*d) qkv-projection
-    output (pass qp=kp=qkv, k_blk_offset=h) with no XLA slice copies."""
+    output (pass qp=kp=qkv, k_blk_offset=h) with no XLA slice copies.
+
+    `h_k`: k's head count when it differs from q's (GQA text stack, Hkv < H):
+    grid steps beyond h_k redundantly re-rotate the last k head (idempotent,
+    tiny) so one grid covers both tensors."""
     b, s, _ = qp.shape
     d = cos.shape[-1]
+    h_k = h if h_k is None else h_k
     blk = _pick_block(s)
     # h innermost: consecutive grid steps revisit the same cos/sin block, so
     # the pipeline loads each (blk, d) table once per (b, s-block) instead of
     # once per head (16x overread measured as ~2x on this kernel's runtime)
     grid = (b, s // blk, h)
+    k_idx = lambda hi_: k_blk_offset + jnp.minimum(hi_, h_k - 1)
     spec_q = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, hi_))
-    spec_k = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, k_blk_offset + hi_))
+    spec_k = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, k_idx(hi_)))
     spec_cs = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, 0))
-    spec_out = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, hi_))
+    spec_oq = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, hi_))
+    spec_ok = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, jnp.minimum(hi_, h_k - 1)))
     kernel = functools.partial(_rope_pair_kernel, rope_dim=rope_dim)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec_q, spec_k, spec_cs, spec_cs],
-        out_specs=[spec_out, spec_out],
+        out_specs=[spec_oq, spec_ok],
         out_shape=[
             jax.ShapeDtypeStruct((b, s, h * d), qp.dtype),
-            jax.ShapeDtypeStruct((b, s, h * d), kp.dtype),
+            jax.ShapeDtypeStruct((b, s, h_k * d), kp.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
     )(qp, kp, cos, sin)
+
+
+def rope_pair_packed(q, k, cos, sin, num_q_heads: int, num_k_heads: int):
+    """Inference-path fused rope for the GQA text stack: q (B, L, H*hd) and
+    k (B, L, Hkv*hd) rotated in one Pallas pass (no VJP — training keeps the
+    XLA rope). hd must be a lane multiple (text head_dim is 128)."""
+    return _rope_pair(
+        q, k, cos.astype(jnp.float32), sin.astype(jnp.float32),
+        num_q_heads, cos.shape[-1], h_k=num_k_heads,
+    )
 
 
 def _vis_fwd_kernel(

@@ -130,6 +130,31 @@ def test_store_kv_rows_matches_scatter():
         np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
 
 
+@pytest.mark.skipif(not ON_TPU, reason="fused rope kernel needs TPU")
+def test_rope_pair_packed_matches_xla_gqa():
+    """The GQA fused rope pass (language.prefill fast path) vs the XLA
+    rotation: q has more heads than k (grid steps beyond Hkv redundantly
+    re-rotate the last k head; results must still be exact)."""
+    from padt_tpu.ops.pallas_attention import rope_pair_packed
+    from padt_tpu.ops.rope import apply_rotary
+
+    rng = np.random.RandomState(5)
+    b, l, h, hkv, hd = 2, 128, 4, 1, 128
+    q = jnp.asarray(rng.randn(b, l, h * hd) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, hkv * hd) * 0.3, jnp.float32)
+    inv = 1.0 / (10000 ** (np.arange(0, hd // 2) / (hd // 2)))
+    ang = np.arange(l)[:, None] * inv[None, :]
+    emb = np.concatenate([ang, ang], axis=-1)
+    cos = jnp.asarray(np.broadcast_to(np.cos(emb), (b, l, hd)), jnp.float32)
+    sin = jnp.asarray(np.broadcast_to(np.sin(emb), (b, l, hd)), jnp.float32)
+
+    qr, kr = rope_pair_packed(q, k, cos, sin, h, hkv)
+    q_ref = apply_rotary(q.reshape(b, l, h, hd), cos[:, :, None], sin[:, :, None]).reshape(b, l, h * hd)
+    k_ref = apply_rotary(k.reshape(b, l, hkv, hd), cos[:, :, None], sin[:, :, None]).reshape(b, l, hkv * hd)
+    np.testing.assert_allclose(np.asarray(qr), np.asarray(q_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kr), np.asarray(k_ref), atol=1e-5)
+
+
 def test_int8_generate_runs_tiny():
     """Full generate() with kv_cache_dtype='int8' on the tiny model: correct
     shapes, finite outputs, EOS bookkeeping intact."""
