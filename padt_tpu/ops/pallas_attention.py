@@ -313,13 +313,24 @@ def _rot_half_lanes(x, rope_dim: Optional[int] = None):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _rope_pair_kernel(q_ref, k_ref, cos_ref, sin_ref, oq_ref, ok_ref, *, rope_dim: int):
-    """Rotate one (blk, d) head tile of q AND k — each element touched once."""
-    c, s = cos_ref[0], sin_ref[0]
-    qf = q_ref[0].astype(jnp.float32)
-    oq_ref[0] = (qf * c + _rot_half_lanes(qf, rope_dim) * s).astype(oq_ref.dtype)
-    kf = k_ref[0].astype(jnp.float32)
-    ok_ref[0] = (kf * c + _rot_half_lanes(kf, rope_dim) * s).astype(ok_ref.dtype)
+def _rope_pair_kernel(q_ref, k_ref, cos_ref, sin_ref, oq_ref, ok_ref, *, rope_dim: int, d: int):
+    """Rotate one (blk, HB*d) multi-head tile of q AND k — each element touched
+    once. Tiles span HB heads (128-lane groups) so each DMA row is HB*256 B
+    contiguous: single-head tiles sit exactly at the 256 B DMA-efficiency
+    cliff (~3x kernel slowdown measured at 3B shapes)."""
+    c, s = cos_ref[0], sin_ref[0]  # (blk, d) — one head's table
+
+    def rot_tile(x_ref, o_ref):
+        xf = x_ref[0].astype(jnp.float32)
+        parts = []
+        for g in range(xf.shape[-1] // d):
+            xg = xf[:, g * d : (g + 1) * d]
+            parts.append(xg * c + _rot_half_lanes(xg, rope_dim) * s)
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    rot_tile(q_ref, oq_ref)
+    rot_tile(k_ref, ok_ref)
 
 
 def _rope_pair(
@@ -339,23 +350,29 @@ def _rope_pair(
     output (pass qp=kp=qkv, k_blk_offset=h) with no XLA slice copies.
 
     `h_k`: k's head count when it differs from q's (GQA text stack, Hkv < H):
-    grid steps beyond h_k redundantly re-rotate the last k head (idempotent,
-    tiny) so one grid covers both tensors."""
+    grid steps beyond k's blocks redundantly re-rotate its last block
+    (idempotent, tiny) so one grid covers both tensors."""
     b, s, _ = qp.shape
     d = cos.shape[-1]
     h_k = h if h_k is None else h_k
     blk = _pick_block(s)
+    # heads per tile: widest power-of-two grouping both tensors allow — wide
+    # tiles turn the 256 B/row strided DMA into HB*256 B contiguous rows
+    hb = 1
+    while hb * 2 <= 8 and h % (hb * 2) == 0 and h_k % (hb * 2) == 0 and k_blk_offset % (hb * 2) == 0:
+        hb *= 2
+    n_qb_h, n_kb_h, k_off = h // hb, h_k // hb, k_blk_offset // hb
     # h innermost: consecutive grid steps revisit the same cos/sin block, so
     # the pipeline loads each (blk, d) table once per (b, s-block) instead of
-    # once per head (16x overread measured as ~2x on this kernel's runtime)
-    grid = (b, s // blk, h)
-    k_idx = lambda hi_: k_blk_offset + jnp.minimum(hi_, h_k - 1)
-    spec_q = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, hi_))
-    spec_k = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, k_idx(hi_)))
+    # once per head group (16x overread measured as ~2x on this kernel)
+    grid = (b, s // blk, n_qb_h)
+    k_idx = lambda hi_: k_off + jnp.minimum(hi_, n_kb_h - 1)
+    spec_q = pl.BlockSpec((1, blk, hb * d), lambda bi, si, hi_: (bi, si, hi_))
+    spec_k = pl.BlockSpec((1, blk, hb * d), lambda bi, si, hi_: (bi, si, k_idx(hi_)))
     spec_cs = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, 0))
-    spec_oq = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, hi_))
-    spec_ok = pl.BlockSpec((1, blk, d), lambda bi, si, hi_: (bi, si, jnp.minimum(hi_, h_k - 1)))
-    kernel = functools.partial(_rope_pair_kernel, rope_dim=rope_dim)
+    spec_oq = pl.BlockSpec((1, blk, hb * d), lambda bi, si, hi_: (bi, si, hi_))
+    spec_ok = pl.BlockSpec((1, blk, hb * d), lambda bi, si, hi_: (bi, si, jnp.minimum(hi_, n_kb_h - 1)))
+    kernel = functools.partial(_rope_pair_kernel, rope_dim=rope_dim, d=d)
     return pl.pallas_call(
         kernel,
         grid=grid,
