@@ -400,7 +400,22 @@ class ServeEngine:
         )
         return stack, deltas, budgets
 
-    def run(self, requests: List[Request]) -> Tuple[List[Completion], ServeStats]:
+    def run(
+        self, requests: List[Request], schedule: str = "fifo"
+    ) -> Tuple[List[Completion], ServeStats]:
+        """Process `requests` to completion.
+
+        schedule="longest_first": admit requests in descending max_new_tokens
+        so long completions run concurrently with everything else instead of
+        draining alone at the end — measured +27% useful tok/s over FIFO on
+        the tail-heavy reference mix (BASELINE.md). Use when expected lengths
+        are known (in PaDT the task type predicts them: OVD/RIC long, REC
+        short); results are per-request identical under any order (greedy
+        decoding is prefix-stable and slots are independent)."""
+        if schedule == "longest_first":
+            requests = sorted(requests, key=lambda q: -q.max_new_tokens)
+        elif schedule != "fifo":
+            raise ValueError(f"unknown schedule {schedule!r}")
         pending = deque(requests)
         free: List[int] = list(range(self.n_slots))
         occupant: Dict[int, Request] = {}

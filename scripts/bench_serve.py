@@ -132,10 +132,17 @@ def main():
     warm = [Request(batch=sample, rope_delta=delta, max_new_tokens=1, uid=-1 - i)
             for i in range(w["bucket"])]
     eng.run(warm)
-    results, stats = eng.run(reqs)
+    # longest-first admission (task type predicts completion length in PaDT);
+    # PADT_SERVE_SCHED=fifo for arrival order
+    sched = os.environ.get("PADT_SERVE_SCHED", "longest_first")
+    results, stats = eng.run(reqs, schedule=sched)
     assert stats.completions == w["n_requests"]
     assert stats.generated_tokens == useful, (stats.generated_tokens, useful)
     engine_tps = useful / stats.wall_s
+    fifo_tps = None
+    if sched != "fifo" and os.environ.get("PADT_SERVE_SKIP_FIFO", "0") != "1":
+        _, fstats = eng.run(list(reqs), schedule="fifo")  # compiles cached
+        fifo_tps = useful / fstats.wall_s
 
     # ---- naive fixed-batch baseline ----
     # every fixed batch runs to ITS longest budget (the all-EOS early exit a
@@ -181,6 +188,8 @@ def main():
             "engine_prefill_s": round(stats.prefill_s, 3),
             "engine_decode_s": round(stats.decode_s, 3),
             "slot_step_utilization": round(stats.slot_step_utilization, 3),
+            "schedule": sched,
+            "fifo_tokens_per_sec": round(fifo_tps, 2) if fifo_tps else None,
             "naive_tokens_per_sec": round(naive_tps, 2) if naive_tps else None,
             "backend": jax.default_backend(),
         },

@@ -80,6 +80,13 @@ def test_engine_matches_generate_with_recycling():
     assert stats.generated_tokens == sum(c.n_gen for c in results)
     assert 0 < stats.slot_step_utilization <= 1.0
 
+    # longest-first admission: identical per-request outputs in any order
+    # (greedy is prefix-stable; slots are independent)
+    results2, _ = eng.run(reqs, schedule="longest_first")
+    by_uid2 = {c.uid: c for c in results2}
+    for i in range(len(reqs)):
+        np.testing.assert_array_equal(by_uid2[i].tokens, by_uid[i].tokens)
+
 
 @pytest.mark.smoke
 def test_run_stream_matches_run_batch():
