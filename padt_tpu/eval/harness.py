@@ -165,10 +165,15 @@ class InferenceEngine:
                 proc.build_batch([p], [img], patch_bucket=pb, prompt_bucket=prompt_bucket)
                 for p, img in zip(prompts, images)
             ]
+        # Request leaves stay HOST-side (numpy): the engine's _make_bucket
+        # transfers each admission bucket once via jnp.concatenate, so HBM use
+        # is O(prefill_bucket), not O(dataset) — staging every request's pixel
+        # patches (~5 MB each at 3B buckets) on device up front won't scale to
+        # real eval sets on a 15.75 GB chip.
         reqs = [
             Request(
                 batch={
-                    k: jnp.asarray(v, jnp.bfloat16) if k == "pixel_patches" else jnp.asarray(v)
+                    k: np.asarray(v).astype(jnp.bfloat16) if k == "pixel_patches" else np.asarray(v)
                     for k, v in b.data.items()
                 },
                 rope_delta=int(b.rope_deltas[0]),

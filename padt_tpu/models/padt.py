@@ -145,7 +145,10 @@ _VISION_BATCH_KEYS = (
 )
 
 
-def run_vision(params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False) -> VisionArtifacts:
+def run_vision(
+    params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False,
+    freeze: bool = False,
+) -> VisionArtifacts:
     b = batch["pixel_patches"].shape[0]
     cs = cfg.vision_chunk_size
     if cs and b > cs and b % cs == 0:
@@ -154,12 +157,15 @@ def run_vision(params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bo
         # chunk's worth at the cost of serializing chunks (same total FLOPs)
         nc = b // cs
         vb = {k: batch[k].reshape(nc, cs, *batch[k].shape[1:]) for k in _VISION_BATCH_KEYS}
-        art = jax.lax.map(lambda bc: _run_vision_once(params, cfg, bc, remat), vb)
+        art = jax.lax.map(lambda bc: _run_vision_once(params, cfg, bc, remat, freeze), vb)
         return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), art)
-    return _run_vision_once(params, cfg, batch, remat)
+    return _run_vision_once(params, cfg, batch, remat, freeze)
 
 
-def _run_vision_once(params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False) -> VisionArtifacts:
+def _run_vision_once(
+    params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False,
+    freeze: bool = False,
+) -> VisionArtifacts:
     merged, high_res, (cos, sin) = vision_forward(
         params["vision"],
         cfg.vision,
@@ -172,6 +178,13 @@ def _run_vision_once(params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], rem
         batch["wpos"],
         remat=remat,
     )
+    if freeze:
+        # `--freeze_vision_modules` (reference padt_sft_trainer.py:166-170) the
+        # TPU way: cut the graph at the tower outputs so the whole ViT backward
+        # is never built (vs. the reference's requires_grad_(False), which
+        # zeroes grads after the fact). The prototype projection below stays
+        # trainable — only "visual"-module params are frozen in the reference.
+        merged, high_res, cos, sin = jax.lax.stop_gradient((merged, high_res, cos, sin))
     proto = image_prototypes(params, cfg, merged)
     return VisionArtifacts(
         merged=merged,
@@ -191,6 +204,7 @@ def forward_train(
     batch: Dict[str, jnp.ndarray],
     logits_slice: Optional[Tuple[int, int]] = None,
     remat: bool = False,
+    freeze_vision: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, VisionArtifacts]:
     """Teacher-forced forward (reference forward_main, padt.py:147-340).
 
@@ -205,7 +219,7 @@ def forward_train(
 
     Returns (logits (B, Lc, V+M) fp32, hidden (B, L, D), artifacts).
     """
-    art = run_vision(params, cfg, batch, remat=remat)
+    art = run_vision(params, cfg, batch, remat=remat, freeze=freeze_vision)
     embeds = extended_embed(params, cfg, batch["input_ids"], art.proto, art.merged)
     hidden, _ = language.text_forward(
         params["text"], cfg.text, embeds, batch["position_ids"],

@@ -23,12 +23,18 @@ Backward uses the standard two-pass flash VJP (recompute probs per block).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Vision-kernel block-size override for experiments. Read ONCE at import: a
+# trace-time read would be silently ignored after a caller's jit cache is warm,
+# which misleads block-size sweeps (set it before importing padt_tpu).
+_VIS_BLK_OVERRIDE = int(os.environ.get("PADT_VIS_BLK", "0"))
 
 NEG_INF = -1e30
 
@@ -450,9 +456,7 @@ def _vis_flash_raw(qp, kp, vp, cos, sin, seg, scale, h: int, rope_dim: int,
     b, s, _ = qp.shape
     d = cos.shape[-1]
     dh = h * d
-    import os as _os
-
-    blk_env = int(_os.environ.get("PADT_VIS_BLK", "0"))
+    blk_env = _VIS_BLK_OVERRIDE
     blk_q = blk_k = (blk_env if blk_env and s % blk_env == 0 else _pick_block(s))
     n_qb = s // blk_q
     lo, hi = _kblock_ranges(seg, seg, blk_q, blk_k, causal=False)

@@ -184,10 +184,17 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
     b = inputs_embeds.shape[0]
     pos3 = jnp.broadcast_to(state.text_pos[None, :, None], (3, b, 1))
     cos, sin = mrope_cos_sin(pos3, tcfg.head_dim, tcfg.mrope_section, tcfg.rope_theta)
+    # Clamp the store row: a DRAINED slot's write_pos can equal capacity (when
+    # prompt_len + budget == capacity); without the clamp the Pallas row store
+    # relies on Mosaic index-map clamping and silently overwrites row cap-1 of
+    # the finished request's cache. Inactive slots' rows are never read, but
+    # keep the write in-bounds by construction.
+    capacity = state.valid.shape[1]
+    store_pos = jnp.minimum(state.write_pos, capacity - 1)
     # activate each ACTIVE slot's write position (inactive slots keep theirs)
     rows = jnp.arange(b)
-    cur = state.valid[rows, state.write_pos]
-    new_valid = state.valid.at[rows, state.write_pos].set(cur | state.active)
+    cur = state.valid[rows, store_pos]
+    new_valid = state.valid.at[rows, store_pos].set(cur | state.active)
 
     def body(x, layer):
         lp, k8, ks, v8, vs = layer
@@ -198,7 +205,7 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
         # in-place aliased row store (a vmapped dynamic_update_slice lowers to
         # an XLA scatter: measured +20 ms/step at 3B/64 slots)
         k8, ks, v8, vs = store_kv_rows(
-            k8, ks, v8, vs, k8n, ksn, v8n, vsn, state.write_pos
+            k8, ks, v8, vs, k8n, ksn, v8n, vsn, store_pos
         )
         attn = decode_attention_int8(q, k8, ks, v8, vs, new_valid)
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
@@ -422,6 +429,7 @@ class ServeEngine:
         slot_art: Dict[int, Any] = {}  # keep_artifacts: per-slot VisionArtifacts
         results: List[Completion] = []
         stats = ServeStats()
+        prev_n_gen = np.zeros(self.n_slots, np.int64)  # n_gen at last sync
         t_start = time.perf_counter()
 
         def sync_flags():
@@ -446,6 +454,7 @@ class ServeEngine:
                 # orders everything); prefill_s is therefore dispatch-side time
                 # and the device-side cost lands in decode_s
                 stats.prefill_s += time.perf_counter() - t0
+                prev_n_gen[slots] = 0  # insert resets refilled slots' n_gen
                 for i, q in enumerate(take):
                     occupant[slots[i]] = q
                     if art is not None:
@@ -461,7 +470,13 @@ class ServeEngine:
             self.state = self._chunk(self.params, self.state)
             active, n_gen = sync_flags()
             stats.decode_s += time.perf_counter() - t0
-            stats.decode_steps += self.chunk_steps
+            # Actual steps executed, not chunk_steps: the while_loop early-exits
+            # when the pool drains, and it stops on the exact iteration where
+            # the last active slot finished — so steps == max per-slot n_gen
+            # delta this chunk (a slot active the whole chunk advances every
+            # step; the last-to-finish slot advances on every executed step).
+            stats.decode_steps += int(np.max(n_gen - prev_n_gen))
+            prev_n_gen = n_gen.copy()
             # ---- harvest finished slots ----
             done = [s for s in occupant if not active[s]]
             if done:

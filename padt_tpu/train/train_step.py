@@ -33,6 +33,10 @@ class LossConfig(NamedTuple):
     use_mask_loss: bool = True
     use_sft_vp_mask: bool = True
     use_warm_up: bool = True
+    # `--freeze_vision_modules` (padt_sft_trainer.py:166-170): stop_gradient at
+    # the tower outputs, so the vision backward is never built (grads for the
+    # vision subtree come back as zeros from value_and_grad).
+    freeze_vision: bool = False
 
 
 def padt_loss(
@@ -49,7 +53,8 @@ def padt_loss(
     lc = l - lp
 
     logits, hidden, art = padt_model.forward_train(
-        params, cfg, batch, logits_slice=(lp - 1, lc), remat=True
+        params, cfg, batch, logits_slice=(lp - 1, lc), remat=True,
+        freeze_vision=lcfg.freeze_vision,
     )
     target_ids = batch["input_ids"][:, lp:]
     comp_mask = batch["completion_mask"][:, lp:].astype(jnp.float32)
@@ -120,10 +125,19 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     schedule: str = "linear",
+    optimizer: str = "adamw",
+    frozen_mask=None,
 ) -> optax.GradientTransformation:
     """AdamW + clip, matching the reference's HF Trainer defaults (lr 2e-5,
     grad clipping 1.0, linear decay — `run_scripts/padt_pro_3b_sft.sh:32`,
-    `utils.py:74`)."""
+    `utils.py:74`).
+
+    `optimizer="adafactor"` swaps in factored-second-moment Adafactor — the
+    memory-light choice that makes full-3B single-chip training fit in 15.75 GB
+    HBM (AdamW fp32 moments for 3.1B trainable params alone are ~25 GB).
+    `frozen_mask`: optional pytree (or callable params->pytree) of bools, True
+    = frozen leaf; the update is masked out so frozen subtrees (e.g. the vision
+    tower under `freeze_vision`) allocate NO optimizer-state buffers."""
     if total_steps and schedule == "linear":
         lr = optax.linear_schedule(
             init_value=learning_rate, end_value=0.0, transition_steps=total_steps
@@ -142,10 +156,27 @@ def make_optimizer(
         )
     else:
         lr = learning_rate
-    return optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
-    )
+    if optimizer == "adafactor":
+        inner = optax.adafactor(
+            learning_rate=lr,
+            multiply_by_parameter_scale=False,
+            clipping_threshold=None,  # global-norm clip below instead
+            momentum=None,
+            weight_decay_rate=weight_decay or None,
+            eps=1e-30,
+        )
+    elif optimizer == "adamw":
+        inner = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+    if frozen_mask is not None:
+        trainable = (
+            (lambda p: jax.tree.map(lambda m: not m, frozen_mask(p)))
+            if callable(frozen_mask)
+            else jax.tree.map(lambda m: not m, frozen_mask)
+        )
+        inner = optax.masked(inner, trainable)
+    return optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
 
 
 def make_train_step(
@@ -162,15 +193,16 @@ def make_train_step(
     `data_axes`: mesh axes the batch is sharded over — metrics/grads are
     averaged by jit/pjit automatically (SPMD); nothing extra needed here.
     `freeze_vision` mirrors `--freeze_vision_modules`
-    (padt_sft_trainer.py:166-170) by zeroing vision-tower grads.
+    (padt_sft_trainer.py:166-170) via stop_gradient at the tower outputs, so
+    the ViT backward is never built (vision grads come back as zeros).
     """
+    if freeze_vision:
+        lcfg = lcfg._replace(freeze_vision=True)
 
     def step(params, opt_state, batch, warmup):
         (loss, metrics), grads = jax.value_and_grad(padt_loss, has_aux=True)(
             params, cfg, batch, prompt_length, canvas_hw, lcfg, warmup
         )
-        if freeze_vision:
-            grads = {**grads, "vision": jax.tree.map(jnp.zeros_like, grads["vision"])}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
@@ -210,13 +242,13 @@ def make_grad_and_apply_fns(
     """Gradient-accumulation variant: `grad_fn` computes (grads, metrics) per
     micro batch; `apply_fn` averages accumulated grads and applies the
     optimizer once (reference HF Trainer grad-accum semantics)."""
+    if freeze_vision:
+        lcfg = lcfg._replace(freeze_vision=True)
 
     def grad_fn(params, batch, warmup):
         (loss, metrics), grads = jax.value_and_grad(padt_loss, has_aux=True)(
             params, cfg, batch, prompt_length, canvas_hw, lcfg, warmup
         )
-        if freeze_vision:
-            grads = {**grads, "vision": jax.tree.map(jnp.zeros_like, grads["vision"])}
         return grads, metrics
 
     def accumulate(acc, grads):
