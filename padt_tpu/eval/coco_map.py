@@ -65,8 +65,20 @@ class _ImgCatEval:
     num_gt: int  # non-ignored GTs
 
 
+def _dt_area(d: Dict, iou_type: str) -> float:
+    """Detection area per pycocotools loadRes: bbox results use w*h, segm
+    results use the MASK area (falling back to bbox area would misplace
+    ring/sparse masks across area ranges)."""
+    if "area" in d:
+        return d["area"]
+    if iou_type == "segm" and "segmentation" in d:
+        return float(rle_codec.area(d["segmentation"]))
+    return d["bbox"][2] * d["bbox"][3]
+
+
 def _evaluate_img(
-    dts: List[Dict], gts: List[Dict], ious: np.ndarray, area_rng: Tuple[float, float], max_det: int
+    dts: List[Dict], gts: List[Dict], ious: np.ndarray, area_rng: Tuple[float, float], max_det: int,
+    iou_type: str = "bbox",
 ) -> Optional[_ImgCatEval]:
     if not dts and not gts:
         return None
@@ -111,7 +123,7 @@ def _evaluate_img(
             gtm[ti, m] = 1
     # detections outside the area range that matched nothing are ignored
     d_areas = np.array(
-        [d.get("area", d["bbox"][2] * d["bbox"][3]) for d in dts_sorted]
+        [_dt_area(d, iou_type) for d in dts_sorted]
     ) if dts_sorted else np.zeros((0,))
     out_of_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
     dt_ig = dt_ig | (out_of_rng[None] & (dtm == 0))
@@ -185,7 +197,10 @@ class COCOEvaluator:
                         d = sorted(by_key_dt.get(key, []), key=lambda x: -x["score"])[: MAX_DETS[-1]]
                         if not g and not d:
                             continue
-                        e = _evaluate_img(d, g, iou_cache.get(key, np.zeros((0, 0))), rng, max_det)
+                        e = _evaluate_img(
+                            d, g, iou_cache.get(key, np.zeros((0, 0))), rng, max_det,
+                            iou_type=self.iou_type,
+                        )
                         if e is not None:
                             evals.append(e)
                     if not evals:
