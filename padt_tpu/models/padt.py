@@ -103,6 +103,27 @@ def extended_embed(
     return out
 
 
+def extended_logits_pair(
+    params,
+    cfg: PaDTConfig,
+    hidden: jnp.ndarray,  # (B, L, D)
+    proto: jnp.ndarray,  # (B, M, D)
+    num_merged: jnp.ndarray,  # (B,) valid patch count per sample
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Text-vocab and VRT logits as a PAIR ((B,L,V), (B,L,M)); invalid VRT
+    slots masked to NEG_INF (reference extended-vocab head + logit mask,
+    padt.py:292-301,196-201). The training loss consumes the pair directly —
+    concatenating first costs an extra (B,L,V+M) fp32 copy and makes GSPMD
+    reshard the cotangent across the vocab-axis split (involuntary full
+    rematerialization on multi-chip meshes)."""
+    w = params["text"]["embed"] if cfg.text.tie_word_embeddings else params["text"]["lm_head"]
+    lt = jnp.einsum("bld,vd->blv", hidden, w, preferred_element_type=jnp.float32)
+    lv = jnp.einsum("bld,bmd->blm", hidden, proto, preferred_element_type=jnp.float32)
+    slot_ok = jnp.arange(proto.shape[1])[None, :] < num_merged[:, None]  # (B, M)
+    lv = jnp.where(slot_ok[:, None, :], lv, NEG_INF)
+    return lt, lv
+
+
 def extended_logits(
     params,
     cfg: PaDTConfig,
@@ -110,13 +131,8 @@ def extended_logits(
     proto: jnp.ndarray,  # (B, M, D)
     num_merged: jnp.ndarray,  # (B,) valid patch count per sample
 ) -> jnp.ndarray:
-    """(B, L, V + M) logits; invalid VRT slots masked to NEG_INF
-    (reference extended-vocab head + logit mask, padt.py:292-301,196-201)."""
-    w = params["text"]["embed"] if cfg.text.tie_word_embeddings else params["text"]["lm_head"]
-    lt = jnp.einsum("bld,vd->blv", hidden, w, preferred_element_type=jnp.float32)
-    lv = jnp.einsum("bld,bmd->blm", hidden, proto, preferred_element_type=jnp.float32)
-    slot_ok = jnp.arange(proto.shape[1])[None, :] < num_merged[:, None]  # (B, M)
-    lv = jnp.where(slot_ok[:, None, :], lv, NEG_INF)
+    """(B, L, V + M) concatenated extended logits (decode/generate path)."""
+    lt, lv = extended_logits_pair(params, cfg, hidden, proto, num_merged)
     return jnp.concatenate([lt, lv], axis=-1)
 
 
@@ -205,6 +221,7 @@ def forward_train(
     logits_slice: Optional[Tuple[int, int]] = None,
     remat: bool = False,
     freeze_vision: bool = False,
+    split_logits: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, VisionArtifacts]:
     """Teacher-forced forward (reference forward_main, padt.py:147-340).
 
@@ -229,7 +246,10 @@ def forward_train(
     if logits_slice is not None:
         start, length = logits_slice
         h = jax.lax.dynamic_slice_in_dim(hidden, start, length, axis=1)
-    logits = extended_logits(params, cfg, h, art.proto, art.num_merged)
+    if split_logits:
+        logits = extended_logits_pair(params, cfg, h, art.proto, art.num_merged)
+    else:
+        logits = extended_logits(params, cfg, h, art.proto, art.num_merged)
     return logits, hidden, art
 
 

@@ -150,11 +150,68 @@ def batch_shardings(batch: Dict[str, Any], mesh: Mesh):
         shape = np.shape(v)
         if k == "position_ids":
             out[k] = NamedSharding(mesh, P(None, dp))
+        elif k in _OBJECT_SPACE_KEYS:
+            out[k] = NamedSharding(mesh, P())
         elif len(shape) >= 1 and shape[0] % (mesh.shape["data"] * mesh.shape["fsdp"]) == 0:
             out[k] = NamedSharding(mesh, P(dp, *([None] * (len(shape) - 1))))
         else:
             out[k] = NamedSharding(mesh, P())
     return out
+
+
+# batch keys that live in OBJECT space (leading dim = n_objects, not batch):
+# each object may reference ANY sample (obj_sample indexing), so sharding them
+# over the batch axes forces cross-device gathers + involuntary resharding in
+# the backward pass. They are small — replicate.
+_OBJECT_SPACE_KEYS = frozenset({
+    "obj_sample", "gather_pos", "vrt_counts", "obj_valid", "picked_patch_ids",
+    "gt_boxes", "gt_mask", "gt_mask_valid",
+})
+
+
+def constrain(x, *spec):
+    """`with_sharding_constraint(x, P(*spec))` when tracing under a mesh
+    context; identity otherwise (single-chip jit, or a mesh without these
+    axes). Used to pin cotangent layouts the GSPMD propagator would otherwise
+    resolve with involuntary full rematerialization."""
+    try:
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+    except (RuntimeError, ValueError, KeyError):
+        return x
+
+
+def context_mesh_axis_sizes() -> Dict[str, int]:
+    """{axis: size} of the mesh the current trace runs under ({} if none)."""
+    try:
+        from jax.interpreters.pxla import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        if m.empty:
+            return {}
+        return dict(zip(m.axis_names, m.devices.shape))
+    except Exception:
+        return {}
+
+
+def constrain_loss_logits(lt, lv):
+    """Pin the training-loss logits layout ((B,Lc,V) text / (B,Lc,M) VRT).
+
+    On a mesh with BOTH a data and an fsdp axis, batch-only sharding makes
+    GSPMD reshard the logits cotangent from batch@(data,fsdp) to the
+    vocab@fsdp layout the tied-embedding grad einsum wants — an involuntary
+    full rematerialization within each data group. Jointly sharding
+    batch@data / vocab@fsdp up front gives every producer/consumer einsum a
+    local-contraction + psum path. On data=1 meshes GSPMD is already clean —
+    leave the layout alone."""
+    sizes = context_mesh_axis_sizes()
+    if sizes.get("data", 1) <= 1 or sizes.get("fsdp", 1) <= 1:
+        return lt, lv
+    if lt.shape[-1] % sizes["fsdp"] or lv.shape[-1] % sizes["fsdp"]:
+        return constrain(lt, ("data", "fsdp")), constrain(lv, ("data", "fsdp"))
+    return (
+        constrain(lt, "data", None, "fsdp"),
+        constrain(lv, "data", None, "fsdp"),
+    )
 
 
 def shard_params(params, mesh: Mesh):

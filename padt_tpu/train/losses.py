@@ -141,7 +141,7 @@ def sigmoid_focal_loss(
 # ---------------------------------------------------------------------------
 
 def sft_token_loss(
-    logits: jnp.ndarray,  # (B, Lc, V + M) fp32 — completion-region extended logits
+    logits,  # (B, Lc, V + M) fp32 extended logits, OR the ((B,Lc,V), (B,Lc,M)) pair
     target_ids: jnp.ndarray,  # (B, Lc) int32 (local VRT convention)
     completion_mask: jnp.ndarray,  # (B, Lc) {0,1}
     vrt_penalty_mask: jnp.ndarray,  # (B, Lc, M) bool — True = exclude this patch slot
@@ -151,14 +151,31 @@ def sft_token_loss(
     """Per-sample mean NLL over completion tokens with the robust VP mask
     (`use_sft_vp_mask`): at a VRT target position, the object's OTHER ground
     truth patches are removed from the softmax so they aren't penalized
-    (padt_sft_trainer.py:443-457,473-475,509-514). Returns (B,) loss."""
-    logits = logits.astype(jnp.float32)
+    (padt_sft_trainer.py:443-457,473-475,509-514). Returns (B,) loss.
+
+    The pair form (from `forward_train(split_logits=True)`) never slices or
+    concatenates the vocab axis: the softmax is assembled via logaddexp and
+    the target via a masked two-way gather. Saves a (B,Lc,V+M) fp32 copy and
+    keeps GSPMD cotangents clean on multi-chip meshes."""
+    tgt_idx = target_ids.astype(jnp.int32)
+    is_vrt = tgt_idx >= vocab_size
+    if isinstance(logits, tuple):
+        lt, lv = logits
+        lt = lt.astype(jnp.float32)
+        lv = lv.astype(jnp.float32)
+    else:
+        full = logits.astype(jnp.float32)
+        lt, lv = full[..., :vocab_size], full[..., vocab_size:]
     if use_vp_mask:
-        is_vrt = target_ids >= vocab_size
         penalty = vrt_penalty_mask & is_vrt[:, :, None]
-        vrt_part = jnp.where(penalty, -jnp.inf, logits[..., vocab_size:])
-        logits = jnp.concatenate([logits[..., :vocab_size], vrt_part], axis=-1)
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    tgt = jnp.take_along_axis(logits, target_ids[:, :, None].astype(jnp.int32), axis=-1)[..., 0]
+        # -1e30, not -inf: an all-(-inf) lv row (text-only sample, or every
+        # slot penalized) would make logsumexp(lv) = -inf with a NaN gradient
+        lv = jnp.where(penalty, -1e30, lv)
+    logz = jnp.logaddexp(jax.nn.logsumexp(lt, axis=-1), jax.nn.logsumexp(lv, axis=-1))
+    tgt_t = jnp.take_along_axis(lt, jnp.clip(tgt_idx, 0, vocab_size - 1)[:, :, None], axis=-1)
+    tgt_v = jnp.take_along_axis(
+        lv, jnp.clip(tgt_idx - vocab_size, 0, lv.shape[-1] - 1)[:, :, None], axis=-1
+    )
+    tgt = jnp.where(is_vrt, tgt_v[..., 0], tgt_t[..., 0])
     nll = (logz - tgt) * completion_mask
     return nll.sum(-1) / (completion_mask.sum(-1) + 1e-4)

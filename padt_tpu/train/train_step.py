@@ -21,6 +21,7 @@ import optax
 
 from ..config import PaDTConfig
 from ..models import padt as padt_model
+from ..parallel import mesh as mesh_lib
 from . import losses
 
 
@@ -52,10 +53,13 @@ def padt_loss(
     l = batch["input_ids"].shape[1]
     lc = l - lp
 
+    # split_logits: the loss consumes (text, VRT) logit parts separately — no
+    # (B,Lc,V+M) concat copy, and no vocab-axis slice for GSPMD to reshard.
     logits, hidden, art = padt_model.forward_train(
         params, cfg, batch, logits_slice=(lp - 1, lc), remat=True,
-        freeze_vision=lcfg.freeze_vision,
+        freeze_vision=lcfg.freeze_vision, split_logits=True,
     )
+    logits = mesh_lib.constrain_loss_logits(*logits)
     target_ids = batch["input_ids"][:, lp:]
     comp_mask = batch["completion_mask"][:, lp:].astype(jnp.float32)
 
@@ -73,6 +77,10 @@ def padt_loss(
     # --- perception decoder on VRT hidden states (or prototypes in warm-up) ---
     obj_sample = batch["obj_sample"]
     feats = hidden[obj_sample[:, None], batch["gather_pos"]]  # (N, K, D)
+    # Object space is replicated (objects index arbitrary samples); pinning the
+    # gather output here keeps its cotangent from inheriting a batch-axis
+    # sharding that GSPMD can only undo by full rematerialization.
+    feats = mesh_lib.constrain(feats)
     if lcfg.use_warm_up:
         proto_feats = art.proto[obj_sample[:, None], batch["picked_patch_ids"]]
         feats = jnp.where(warmup, proto_feats.astype(feats.dtype), feats)
