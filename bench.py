@@ -80,6 +80,7 @@ def main(batch=None):
         num_merged=jnp.asarray(geom.num_merged),
         num_patches=jnp.asarray(geom.num_patches),
         grid_thw=jnp.asarray(geom.grid_thw),
+        **({"pack_index": jnp.asarray(geom.pack_index)} if geom.pack_index is not None else {}),
         input_ids=jnp.asarray(ids, jnp.int32),
         attention_mask=jnp.asarray(am, jnp.int32),
         position_ids=jnp.asarray(pos),

@@ -157,8 +157,8 @@ class VisionArtifacts(NamedTuple):
 
 _VISION_BATCH_KEYS = (
     "pixel_patches", "window_index", "inv_window_index", "seg_win", "seg_full",
-    "hpos", "wpos", "num_merged", "num_patches", "grid_thw",
-)
+    "hpos", "wpos", "num_merged", "num_patches", "grid_thw", "pack_index",
+)  # pack_index present only with the window-SLOT layout (vision_geom.py)
 
 
 def run_vision(
@@ -172,7 +172,10 @@ def run_vision(
         # batch (7.75 GB at 3B/B48); lax.map over chunks bounds them to one
         # chunk's worth at the cost of serializing chunks (same total FLOPs)
         nc = b // cs
-        vb = {k: batch[k].reshape(nc, cs, *batch[k].shape[1:]) for k in _VISION_BATCH_KEYS}
+        vb = {
+            k: batch[k].reshape(nc, cs, *batch[k].shape[1:])
+            for k in _VISION_BATCH_KEYS if k in batch
+        }
         art = jax.lax.map(lambda bc: _run_vision_once(params, cfg, bc, remat, freeze), vb)
         return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), art)
     return _run_vision_once(params, cfg, batch, remat, freeze)
@@ -193,6 +196,7 @@ def _run_vision_once(
         batch["hpos"],
         batch["wpos"],
         remat=remat,
+        pack_index=batch.get("pack_index"),
     )
     if freeze:
         # `--freeze_vision_modules` (reference padt_sft_trainer.py:166-170) the

@@ -25,9 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VisionConfig
-from ..ops.attention import fused_vision_attention_qkv, use_pallas
+from ..ops.attention import fused_vision_attention_qkv, use_pallas, window_attention_qkv
 from ..ops.norms import rms_norm
 from ..ops.rope import vision_rope_cos_sin
+
+# slot width of the window-aligned token layout (vision_geom.py window_slots):
+# one vision window = 64 patch tokens (112px window / 14px patches, squared)
+_WIN_TOKENS = 64
 
 # Mosaic lane-tile width: heads are zero-padded to this at the WEIGHT level on
 # the Pallas path so the qkv projection emits 128-lane head tiles for free
@@ -95,7 +99,7 @@ def _pad_head_lanes(blocks, h: int, hd: int):
     return dict(blocks, qkv_w=qkv_w, qkv_b=qkv_b, proj_w=proj_w)
 
 
-def _block(x, lp, cos, sin, seg, cfg: VisionConfig):
+def _block(x, lp, cos, sin, seg, cfg: VisionConfig, windowed_slots=None):
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
     # --- attention ---
@@ -104,9 +108,23 @@ def _block(x, lp, cos, sin, seg, cfg: VisionConfig):
     # fp32 rotary (monkey-patch parity, qwen2_5vl_monkey_patch.py:29-30) fused
     # into the attention kernels on TPU (which read q/k/v straight out of the
     # fused qkv buffer); XLA rope+attention elsewhere
-    attn = fused_vision_attention_qkv(
-        qkv, cos, sin, seg, h, scale=1.0 / (hd**0.5), rope_dim=hd
-    )  # (B, S, H*hd_eff)
+    if windowed_slots is not None:
+        # slot layout + traced is-windowed flag: pick diagonal-64 window
+        # attention or full flash per layer (both branches compile once)
+        attn = jax.lax.cond(
+            windowed_slots,
+            lambda qc: window_attention_qkv(
+                qc, cos, sin, seg, h, win=_WIN_TOKENS, scale=1.0 / (hd**0.5), rope_dim=hd
+            ),
+            lambda qc: fused_vision_attention_qkv(
+                qc, cos, sin, seg, h, scale=1.0 / (hd**0.5), rope_dim=hd
+            ),
+            qkv,
+        )
+    else:
+        attn = fused_vision_attention_qkv(
+            qkv, cos, sin, seg, h, scale=1.0 / (hd**0.5), rope_dim=hd
+        )  # (B, S, H*hd_eff)
     x = x + (attn @ lp["proj_w"] + lp["proj_b"])
     # --- gated MLP (SiLU) ---
     xn = rms_norm(x, lp["norm2_w"], cfg.rms_norm_eps)
@@ -127,10 +145,17 @@ def vision_forward(
     hpos: jnp.ndarray,  # (B, S)
     wpos: jnp.ndarray,  # (B, S)
     remat: bool = False,
+    pack_index: jnp.ndarray = None,  # (B, M) slot->packed gather (slot layout)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Returns (merged (B,M,out) raster order,
                 high_res (B,S,D) window order,
-                (cos, sin) (B,S,head_dim) window order)."""
+                (cos, sin) (B,S,head_dim) window order).
+
+    `pack_index` is not None => the inputs use the 64-aligned window-SLOT
+    layout (vision_geom.py `window_slots`): windowed layers run the diagonal
+    64-block attention, and high_res/cos/sin are gathered back to PACKED
+    window order before returning, so the PaDT decoder contract (matched
+    (feat, PE) pairs, prefix validity by num_patches) is unchanged."""
     b, s, _ = pixels.shape
     unit = cfg.spatial_merge_unit
     m = s // unit
@@ -156,17 +181,30 @@ def vision_forward(
         cos_a, sin_a = jnp.pad(cos, pad), jnp.pad(sin, pad)
 
     is_full = jnp.zeros((cfg.depth,), dtype=bool).at[jnp.asarray(cfg.fullatt_block_indexes)].set(True)
+    slot_mode = pack_index is not None
 
     def body(xc, layer):
         lp, full = layer
         seg = jnp.where(full, seg_full, seg_win)
-        return _block(xc, lp, cos_a, sin_a, seg, cfg), None
+        windowed = (~full) if slot_mode else None
+        return _block(xc, lp, cos_a, sin_a, seg, cfg, windowed_slots=windowed), None
 
     if remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, (blocks, is_full))
 
-    high_res = x
+    if slot_mode:
+        # gather slot order -> PACKED window order (merge-group granularity)
+        # for everything the decoder consumes; slot padding disappears here
+        def pack(t):
+            tg = t.reshape(b, m, unit, t.shape[-1])
+            tg = jnp.take_along_axis(tg, pack_index[:, :, None, None], axis=1)
+            return tg.reshape(b, s, t.shape[-1])
+
+        high_res = pack(x)
+        cos, sin = pack(cos), pack(sin)
+    else:
+        high_res = x
     # merger: RMSNorm then 4-group concat MLP (Qwen2_5_VLPatchMerger)
     mp = params["merger"]
     y = rms_norm(x, mp["ln_q_w"], cfg.rms_norm_eps)

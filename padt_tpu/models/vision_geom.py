@@ -23,19 +23,24 @@ import numpy as np
 class VisionGeometry:
     """Static per-batch geometry, shapes padded to (B, S_max) / (B, M_max=S_max/4).
 
-    All "token order" arrays are in WINDOW order (post reorder), matching the
-    sequence order the vision blocks see.
+    All "token order" arrays are in the sequence order the vision blocks see:
+    PACKED window order by default, or 64-token-aligned SLOT order when
+    `pack_index` is set (see `vision_geometry(window_slots=...)`).
     """
 
     window_index: np.ndarray  # (B, M_max) int32 — merge-group gather: window<-raster
     inv_window_index: np.ndarray  # (B, M_max) int32 — raster<-window (argsort)
     seg_win: np.ndarray  # (B, S_max) int32 window id per token, -1 padding
-    seg_full: np.ndarray  # (B, S_max) int32 0 for valid tokens, -1 padding
+    seg_full: np.ndarray  # (B, S_max) int32 frame id for valid tokens, -1 padding
     hpos: np.ndarray  # (B, S_max) int32 rope h position per token (window order)
     wpos: np.ndarray  # (B, S_max) int32 rope w position per token (window order)
     num_patches: np.ndarray  # (B,) int32 valid 14px-patch tokens
     num_merged: np.ndarray  # (B,) int32 valid merged patches
     grid_thw: np.ndarray  # (B, 3) int32
+    # SLOT layout only (None in packed mode): merge-group gather from slot
+    # order back to PACKED window order — the order the decoder contract
+    # (high_res + visual PE pairs) is defined in.
+    pack_index: "np.ndarray | None" = None
 
 
 def _single_image_geometry(
@@ -93,6 +98,7 @@ def _single_image_geometry(
         win_id_per_group.astype(np.int32),
         hp.astype(np.int32),
         wp.astype(np.int32),
+        seqlens.astype(np.int32),  # merge groups per window (zeros included)
     )
 
 
@@ -102,15 +108,55 @@ def vision_geometry(
     spatial_merge_size: int = 2,
     window_size: int = 112,
     patch_size: int = 14,
+    window_slots: "bool | str" = "auto",
 ) -> VisionGeometry:
-    """Batched, padded geometry for one image per sample."""
+    """Batched, padded geometry for one image per sample.
+
+    `window_slots`: lay tokens out in 64-token-ALIGNED window slots instead of
+    packing windows back to back. Every (nonempty) window w occupies slots
+    [w*64, w*64+len_w); pad slots carry seg=-1. Windowed attention layers then
+    need only their own diagonal 64-block — no cross-window masking, ~12x less
+    score work per 768-token tile (ops/pallas_attention.py window kernel). The
+    un-permute (`inv_window_index`) and the PACK gather (`pack_index`, slot ->
+    packed window order) restore the reference layer contracts exactly, so the
+    layout is invisible outside `vision_forward`. "auto": use slots whenever
+    every sample's windows fit the bucket (n_windows*64 <= max_patches).
+    """
     unit = spatial_merge_size * spatial_merge_size
     assert max_patches % unit == 0
     b = len(grid_thw)
     m_max = max_patches // unit
+    vit_ws = window_size // spatial_merge_size // patch_size
+    wg = vit_ws * vit_ws  # merge groups per full window (16 -> 64 tokens)
+
+    geo = []
+    for (t, h, w) in grid_thw:
+        n = t * h * w
+        if n == 0:
+            geo.append(None)
+            continue
+        if n > max_patches:
+            raise ValueError(f"image with {n} patches exceeds bucket {max_patches}")
+        geo.append(_single_image_geometry(t, h, w, spatial_merge_size, window_size, patch_size))
+
+    if window_slots == "auto":
+        ok = True
+        for g in geo:
+            if g is None:
+                continue
+            n_win = int((g[4] > 0).sum())
+            if n_win * wg > m_max:
+                ok = False
+                break
+        window_slots = ok
+    elif window_slots and any(
+        g is not None and int((g[4] > 0).sum()) * wg > m_max for g in geo
+    ):
+        raise ValueError("window_slots layout does not fit the patch bucket")
 
     window_index = np.tile(np.arange(m_max, dtype=np.int32), (b, 1))
     inv_window_index = np.tile(np.arange(m_max, dtype=np.int32), (b, 1))
+    pack_index = np.tile(np.arange(m_max, dtype=np.int32), (b, 1)) if window_slots else None
     seg_win = np.full((b, max_patches), -1, dtype=np.int32)
     seg_full = np.full((b, max_patches), -1, dtype=np.int32)
     hpos = np.zeros((b, max_patches), dtype=np.int32)
@@ -119,29 +165,44 @@ def vision_geometry(
     num_merged = np.zeros((b,), dtype=np.int32)
     grids = np.zeros((b, 3), dtype=np.int32)
 
-    for i, (t, h, w) in enumerate(grid_thw):
+    for i, ((t, h, w), g) in enumerate(zip(grid_thw, geo)):
+        if g is None:  # text-only sample: all padding
+            continue
         n = t * h * w
         nm = n // unit
-        if n == 0:  # text-only sample: all padding
-            continue
-        if n > max_patches:
-            raise ValueError(f"image with {n} patches exceeds bucket {max_patches}")
-        wi, win_id, hp, wp = _single_image_geometry(
-            t, h, w, spatial_merge_size, window_size, patch_size
-        )
-        window_index[i, :nm] = wi
-        # padding groups gather from themselves (stay zeros)
-        window_index[i, nm:] = np.arange(nm, m_max, dtype=np.int32)
-        inv_window_index[i, :nm] = np.argsort(wi).astype(np.int32)
-        inv_window_index[i, nm:] = np.arange(nm, m_max, dtype=np.int32)
-        seg_win[i, :n] = np.repeat(win_id, unit)
-        # full-attention segments are PER FRAME (transformers builds fullatt
-        # cu_seqlens as repeat_interleave(h*w, t)); window reorder keeps frames
-        # contiguous (t is the outer dim of the window shuffle), so raster
-        # frame spans remain valid in window order
-        seg_full[i, :n] = np.repeat(np.arange(t, dtype=np.int32), h * w)
-        hpos[i, :n] = hp
-        wpos[i, :n] = wp
+        wi, win_id, hp, wp, seqlens = g
+        hp4 = hp.reshape(nm, unit)
+        wp4 = wp.reshape(nm, unit)
+
+        if window_slots:
+            # slot position per packed merge group: k-th nonempty window's
+            # groups land at [k*wg, k*wg + len); window ORDER preserved
+            nz = seqlens > 0
+            slot_rank = np.cumsum(nz) - 1  # window id -> nonempty-window rank
+            starts = np.cumsum(seqlens) - seqlens  # packed group start per window
+            j = np.arange(nm)
+            slot_of_group = (slot_rank[win_id] * wg + (j - starts[win_id])).astype(np.int32)
+            window_index[i, slot_of_group] = wi
+            inv_window_index[i, wi] = slot_of_group
+            pack_index[i, :nm] = slot_of_group
+            tok = (slot_of_group[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
+            seg_win[i, tok] = np.repeat(win_id, unit)
+            # frame id per token (window shuffle keeps frames contiguous)
+            seg_full[i, tok] = np.repeat(np.repeat(np.arange(t, dtype=np.int32), h * w // unit)[wi], unit)
+            hpos[i, tok] = hp4.reshape(-1)
+            wpos[i, tok] = wp4.reshape(-1)
+        else:
+            window_index[i, :nm] = wi
+            # padding groups gather from themselves (stay zeros)
+            inv_window_index[i, :nm] = np.argsort(wi).astype(np.int32)
+            seg_win[i, :n] = np.repeat(win_id, unit)
+            # full-attention segments are PER FRAME (transformers builds fullatt
+            # cu_seqlens as repeat_interleave(h*w, t)); window reorder keeps
+            # frames contiguous (t is the outer dim of the window shuffle), so
+            # raster frame spans remain valid in window order
+            seg_full[i, :n] = np.repeat(np.arange(t, dtype=np.int32), h * w)
+            hpos[i, :n] = hp
+            wpos[i, :n] = wp
         num_patches[i] = n
         num_merged[i] = nm
         grids[i] = (t, h, w)
@@ -156,4 +217,5 @@ def vision_geometry(
         num_patches=num_patches,
         num_merged=num_merged,
         grid_thw=grids,
+        pack_index=pack_index,
     )

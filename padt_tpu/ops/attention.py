@@ -182,6 +182,53 @@ def fused_vision_attention_qkv(
     return out.reshape(b, s, num_heads * d)
 
 
+def window_attention_qkv(
+    qkv: jnp.ndarray,  # (B, S, 3*H*D) fused qkv-projection output, PRE-rope
+    cos: jnp.ndarray,  # (B, S, D) fp32
+    sin: jnp.ndarray,
+    seg: jnp.ndarray,  # (B, S) int32 window ids; -1 = pad. SLOT layout: each
+    #                    64-token slot holds exactly one window (+ tail pad)
+    num_heads: int,
+    win: int = 64,
+    scale: Optional[float] = None,
+    rope_dim: Optional[int] = None,
+) -> jnp.ndarray:
+    """Windowed vision attention on the 64-token-ALIGNED slot layout
+    (vision_geom.py `window_slots`): every window lives in its own `win`-token
+    slot, so attention is BATCHED dense (B*W, win, win) with only a k-validity
+    mask — no segment comparisons, and ~12x less score work than masking
+    windows inside 768-token flash tiles. Returns (B, S, H*D)."""
+    b, s, dh3 = qkv.shape
+    d = dh3 // (3 * num_heads)
+    assert s % win == 0, (s, win)
+    rd = rope_dim or d
+    real_scale = (1.0 / (rd**0.5)) if scale is None else scale
+    if use_pallas() and s % 128 == 0 and d % 128 == 0:
+        from .pallas_attention import vision_window_attention_qkv
+
+        return vision_window_attention_qkv(qkv, cos, sin, seg, num_heads, win, real_scale, rd)
+    from .pallas_attention import _rot_half_lanes
+
+    q, k, v = (x.reshape(b, s, num_heads, d) for x in jnp.split(qkv, 3, axis=-1))
+    cq, sq = cos.astype(jnp.float32)[:, :, None, :], sin.astype(jnp.float32)[:, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        return (xf * cq + _rot_half_lanes(xf, rd) * sq).astype(x.dtype)
+
+    nw = s // win
+    qw = rot(q).reshape(b, nw, win, num_heads, d)
+    kw = rot(k).reshape(b, nw, win, num_heads, d)
+    vw = v.reshape(b, nw, win, num_heads, d)
+    kvalid = (seg >= 0).reshape(b, nw, 1, 1, win)
+    scores = jnp.einsum("bwqhd,bwkhd->bwhqk", qw, kw, preferred_element_type=jnp.float32)
+    scores = jnp.where(kvalid, scores * real_scale, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # fully-masked (pad) q rows give uniform junk; downstream masks drop them
+    out = jnp.einsum("bwhqk,bwkhd->bwqhd", probs.astype(v.dtype), vw)
+    return out.reshape(b, s, num_heads * d)
+
+
 def causal_attention(
     q: jnp.ndarray,  # (B, L, H, D)
     k: jnp.ndarray,  # (B, L, Hkv, D)

@@ -488,6 +488,104 @@ def _vis_flash_raw(qp, kp, vp, cos, sin, seg, scale, h: int, rope_dim: int,
     )(lo, hi, seg[:, None, :], seg[:, None, :], q_rot, k_rot, vp)
 
 
+def _vis_win_kernel(q_ref, k_ref, v_ref, kval_ref, o_ref, *, scale: float, win: int):
+    """Diagonal-window attention on the 64-token-aligned SLOT layout: the
+    q-block's windows attend only within themselves, so each (win, win) score
+    tile is computed exactly — no flash accumulator, no cross-block k loop,
+    and ~blk/win x less MXU score work than masking inside a full tile."""
+    blk, d = q_ref.shape[1], q_ref.shape[2]
+    nw = blk // win
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    kval = kval_ref[0, 0]  # (blk,) int32: 1 = valid token
+    prec_q = _dot_precision(q.dtype)
+    outs = []
+    for wi_ in range(nw):  # static unroll (12 windows at blk=768)
+        sl = slice(wi_ * win, (wi_ + 1) * win)
+        qs, ks, vs = q[sl], k[sl], v[sl]
+        kv = kval[sl].reshape(1, win)
+        s = jax.lax.dot_general(
+            qs, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec_q,
+        ) * scale
+        s = jnp.where(kv > 0, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = jnp.where(kv > 0, p, 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_dot_precision(vs.dtype),
+        )
+        outs.append(jnp.where(l > 0, o / jnp.where(l > 0, l, 1.0), 0.0))
+    o_ref[0] = jnp.concatenate(outs, axis=0).astype(o_ref.dtype)
+
+
+def _vis_win_raw(qkv, cos, sin, seg, scale, h: int, rope_dim: int, win: int):
+    """Slot-layout windowed attention over the fused (B, S, 3*H*d) qkv buffer
+    (same packed-lane-block layout as `_vis_flash_raw(v_blk_offset=2h)`)."""
+    b, s, _ = qkv.shape
+    d = cos.shape[-1]
+    blk = _pick_block(s)
+    assert blk % win == 0 and s % blk == 0, (s, blk, win)
+    n_qb = s // blk
+
+    q_rot, k_rot = _rope_pair(qkv, qkv, cos, sin, h, rope_dim, k_blk_offset=h)
+    kval = (seg >= 0).astype(jnp.int32)[:, None, :]  # (B, 1, S)
+
+    grid = (b, h, n_qb)
+    kernel = functools.partial(_vis_win_kernel, scale=scale, win=win)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, hi_)),  # q
+            pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, hi_)),  # k
+            pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, 2 * h + hi_)),  # v
+            pl.BlockSpec((1, 1, blk), lambda bi, hi_, qi: (bi, 0, qi)),  # kval
+        ],
+        out_specs=pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, hi_)),
+        out_shape=jax.ShapeDtypeStruct((b, s, h * d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(q_rot, k_rot, qkv, kval)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def vision_window_attention_qkv(
+    qkv, cos, sin, seg, h: int, win: int = 64,
+    scale: Optional[float] = None, rope_dim: Optional[int] = None,
+):
+    """Windowed vision attention for the SLOT token layout (vision_geom.py
+    `window_slots`): fused qkv input, in-pass fp32 rope, per-window exact
+    (win, win) attention. Backward reuses the segment-flash recompute path
+    (slot seg ids express the same mask)."""
+    out, _ = _vis_win_fwd(qkv, cos, sin, seg, h, win, scale, rope_dim)
+    return out
+
+
+def _vis_win_fwd(qkv, cos, sin, seg, h, win, scale, rope_dim):
+    d = cos.shape[-1]
+    assert qkv.shape[-1] == 3 * h * d, (qkv.shape, h, d)
+    rd = rope_dim or d
+    real_scale = (1.0 / (rd**0.5)) if scale is None else scale
+    out = _vis_win_raw(
+        qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), seg.astype(jnp.int32),
+        real_scale, h, rd, win,
+    )
+    return out, (qkv, cos, sin, seg)
+
+
+def _vis_win_bwd(h, win, scale, rope_dim, res, g):
+    dqkv, dcos, dsin, _ = _vis_qkv_bwd(h, scale, rope_dim, res, g)
+    return dqkv, dcos, dsin, None
+
+
+vision_window_attention_qkv.defvjp(_vis_win_fwd, _vis_win_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def vision_flash_attention(
     q, k, v, cos, sin, seg,

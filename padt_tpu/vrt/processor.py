@@ -263,4 +263,6 @@ class VisionTextProcessor:
                 num_merged=geom.num_merged,
                 grid_thw=geom.grid_thw.astype(np.int32),
             )
+            if geom.pack_index is not None:  # window-SLOT layout in use
+                data.update(pack_index=geom.pack_index)
         return Batch(data=data, rope_deltas=deltas, prompt_length=lp)

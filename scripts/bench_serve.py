@@ -85,6 +85,7 @@ def _build_sample(cfg, grid, prompt_extra):
         num_merged=np.asarray(geom.num_merged),
         num_patches=np.asarray(geom.num_patches),
         grid_thw=np.asarray(geom.grid_thw),
+        **({"pack_index": np.asarray(geom.pack_index)} if geom.pack_index is not None else {}),
         input_ids=np.asarray(ids, np.int32),
         attention_mask=np.asarray(am, np.int32),
         position_ids=np.asarray(pos),

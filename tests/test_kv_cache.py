@@ -180,3 +180,53 @@ def test_int8_generate_runs_tiny():
     assert out.tokens.shape == (1, 6)
     assert np.isfinite(np.asarray(out.hidden, np.float32)).all()
     assert (np.asarray(out.tokens) >= 0).all()
+
+
+def test_int8_generate_greedy_matches_bf16_full_generation():
+    """Serving-default accuracy gate (int8 KV is bench/serve default): a FULL
+    64-step greedy generation over the int8 cache must be token-for-token
+    identical to the bf16-cache generation on the tiny parity model.
+
+    Policy (BASELINE.md): int8 KV is safe for greedy serving — per-token
+    quantization noise stays well below the logit margins of a trained model
+    (and, per this gate, below even a random-weight model's margins over 64
+    steps). Fall back to bf16 KV (PADT_BENCH_KV=bf16 / kv_cache_dtype='bf16')
+    for logprob-sensitive uses: temperature sampling at T>~1, logit-level
+    distillation, or eval protocols that score logprobs rather than tokens."""
+    from padt_tpu.config import padt_tiny
+    from padt_tpu.models import padt as P
+    from padt_tpu.preprocess.vision_process import ProcessedImage
+    from padt_tpu.utils.mock_tokenizer import make_tiny_tokenizer
+    from padt_tpu.vrt.processor import VisionTextProcessor
+
+    cfg = padt_tiny()
+    tok = make_tiny_tokenizer(cfg)
+    proc = VisionTextProcessor(tok, cfg, seq_bucket=64, patch_bucket=128)
+    proc.prepare(cfg.text.vocab_size)
+    rng = np.random.RandomState(5)
+    imgs = [
+        ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12)),
+        ProcessedImage(rng.randn(64, 1176).astype(np.float32), (1, 8, 8)),
+    ]
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    batch = proc.build_batch(["find the dog", "describe"], imgs)
+    jb = {k: jnp.asarray(v) for k, v in batch.data.items()}
+    deltas = jnp.asarray(batch.rope_deltas)
+    n_steps = 64
+    # eos disabled: every sequence must run the full 64 steps so the caches
+    # diverge as much as they ever could
+    ref = P.generate(params, cfg, jb, n_steps, deltas, eos_token_id=-1)
+    out = P.generate(params, cfg, jb, n_steps, deltas, eos_token_id=-1, kv_cache_dtype="int8")
+    tok_ref = np.asarray(ref.tokens)
+    tok_int8 = np.asarray(out.tokens)
+    mismatch = np.nonzero(tok_ref != tok_int8)
+    assert tok_ref.shape == (2, n_steps)
+    assert (tok_ref == tok_int8).all(), (
+        f"int8 KV diverged from bf16 at positions {mismatch}: "
+        f"{tok_ref[mismatch]} vs {tok_int8[mismatch]}"
+    )
+    # hidden states (the vl_decode input) stay within int8 noise too
+    h_ref = np.asarray(ref.hidden, np.float32)
+    h_int8 = np.asarray(out.hidden, np.float32)
+    rel = np.abs(h_int8 - h_ref).max() / (np.abs(h_ref).max() + 1e-9)
+    assert rel < 0.05, rel

@@ -72,7 +72,7 @@ def test_video_geometry_per_frame_segments():
     frames; window order keeps frames contiguous."""
     t, h, w = 2, 8, 12
     n = t * h * w
-    geom = vision_geometry([(t, h, w)], max_patches=256)
+    geom = vision_geometry([(t, h, w)], max_patches=256, window_slots=False)
     sf = geom.seg_full[0, :n]
     # per-frame spans
     np.testing.assert_array_equal(sf, np.repeat([0, 1], h * w))

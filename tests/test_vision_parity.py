@@ -72,7 +72,7 @@ def test_window_index_matches_hf(hf_vision):
 
     for t, h, w in [(1, 8, 12), (1, 16, 16), (1, 10, 22), (1, 8, 8)]:
         hf_idx, hf_cu = hf_vision.get_window_index(torch.tensor([[t, h, w]]))
-        wi, win_id, hp, wp = _single_image_geometry(t, h, w)
+        wi, win_id, hp, wp, _ = _single_image_geometry(t, h, w)
         np.testing.assert_array_equal(hf_idx.numpy(), wi)
         # segment boundaries == unique_consecutive(cu_window_seqlens)
         hf_cu = np.unique(np.asarray(hf_cu))
@@ -90,7 +90,7 @@ def test_rot_pos_emb_matches_hf(hf_vision):
     t, h, w = 1, 8, 12
     rpe = hf_vision.rot_pos_emb(torch.tensor([[t, h, w]])).numpy()  # (S, hd/2) pre-window order
     emb = np.concatenate([rpe, rpe], axis=-1)
-    wi, _, hp, wp = _single_image_geometry(t, h, w)
+    wi, _, hp, wp, _ = _single_image_geometry(t, h, w)
     # permute HF (pre-window) to window order at group granularity
     emb_win = emb.reshape(-1, 4, emb.shape[-1])[wi].reshape(-1, emb.shape[-1])
     cos, sin = vision_rope_cos_sin(jnp.asarray(hp)[None], jnp.asarray(wp)[None], head_dim=16)
@@ -133,6 +133,7 @@ def test_vision_forward_matches_hf(hf_vision, grids):
         jnp.asarray(geom.seg_full),
         jnp.asarray(geom.hpos),
         jnp.asarray(geom.wpos),
+        pack_index=None if geom.pack_index is None else jnp.asarray(geom.pack_index),
     )
     off = 0
     for i, (t, h, w) in enumerate(grids):
@@ -141,3 +142,49 @@ def test_vision_forward_matches_hf(hf_vision, grids):
             hf_out[off : off + nm], np.asarray(merged[i, :nm]), rtol=2e-4, atol=2e-4
         )
         off += nm
+
+
+@pytest.mark.parametrize("grids", [[(1, 8, 12)], [(1, 8, 12), (1, 6, 8)], [(2, 8, 12)]])
+def test_window_slot_layout_matches_packed(grids):
+    """The 64-aligned window-SLOT layout (vision_geom window_slots) is a pure
+    internal relayout: merged (raster), high_res + rope PE (packed window
+    order) must match the packed layout bit-for-bit in fp32."""
+    from padt_tpu.models.vision import vision_forward
+    from padt_tpu.models.vision_geom import vision_geometry
+
+    from padt_tpu.models.vision import init_vision_params
+
+    cfg = _my_cfg()
+    params = init_vision_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    s_max = 256
+    rng = np.random.RandomState(1)
+    pix = np.zeros((len(grids), s_max, cfg.patch_input_dim), np.float32)
+    for i, (t, h, w) in enumerate(grids):
+        pix[i, : t * h * w] = rng.randn(t * h * w, cfg.patch_input_dim)
+
+    outs = {}
+    for mode in (False, True):
+        geom = vision_geometry(grids, s_max, window_slots=mode)
+        assert (geom.pack_index is not None) == mode
+        merged, high_res, (cos, sin) = vision_forward(
+            params,
+            cfg,
+            jnp.asarray(pix),
+            jnp.asarray(geom.window_index),
+            jnp.asarray(geom.inv_window_index),
+            jnp.asarray(geom.seg_win),
+            jnp.asarray(geom.seg_full),
+            jnp.asarray(geom.hpos),
+            jnp.asarray(geom.wpos),
+            pack_index=None if geom.pack_index is None else jnp.asarray(geom.pack_index),
+        )
+        outs[mode] = (np.asarray(merged), np.asarray(high_res), np.asarray(cos), np.asarray(sin))
+
+    for i, (t, h, w) in enumerate(grids):
+        n, nm = t * h * w, t * h * w // 4
+        for a, b_ in zip(outs[False], outs[True]):
+            valid = nm if a.shape[1] == s_max // 4 else n
+            np.testing.assert_allclose(
+                a[i, :valid], b_[i, :valid], rtol=1e-6, atol=1e-6,
+                err_msg=f"sample {i} grid {(t,h,w)}",
+            )
