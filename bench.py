@@ -24,12 +24,20 @@ import numpy as np
 def _config(batch=None):
     import dataclasses
 
-    from padt_tpu.config import padt_3b, padt_tiny
+    from padt_tpu.config import padt_3b, padt_7b, padt_tiny
 
     if os.environ.get("PADT_BENCH_SMALL", "0") == "1":
         return padt_tiny().replace(max_image_patches=256), 2, 8, 16, (1, 8, 12)
     batch = batch or int(os.environ.get("PADT_BENCH_BATCH", "0")) or None
     chunk_env = os.environ.get("PADT_BENCH_VISION_CHUNK")
+    if os.environ.get("PADT_BENCH_MODEL", "3b") == "7b":
+        # 7B single-chip: int8 weights mandatory (bf16 7B = 15.2 GB alone);
+        # smaller default batch, same 644px REC workload
+        if batch is None:
+            batch = 32
+        chunk = int(chunk_env) if chunk_env else (8 if batch > 16 else 0)
+        cfg = padt_7b().replace(max_image_patches=2304, vision_chunk_size=chunk)
+        return cfg, batch, 16, 80, (1, 46, 46)
     if batch is None:
         batch = 96  # largest known-good; main() falls back on OOM
     chunk = int(chunk_env) if chunk_env else (16 if batch > 32 else 0)
@@ -48,9 +56,14 @@ def main(batch=None):
     cfg, batch_size, n_short, n_long, grid = _config(batch)
     dtype = jnp.bfloat16
 
-    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
-    if os.environ.get("PADT_BENCH_INT8", "0") == "1":
-        params = P.quantize_params(params)
+    if os.environ.get("PADT_BENCH_MODEL", "3b") == "7b":
+        # int8 layer weights built directly (bf16 7B cannot be materialized
+        # then quantized in 15.75 GB HBM)
+        params = P.init_padt_params_quantized(cfg, jax.random.PRNGKey(0), dtype)
+    else:
+        params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
+        if os.environ.get("PADT_BENCH_INT8", "0") == "1":
+            params = P.quantize_params(params)
 
     grids = [grid] * batch_size
     s_max = cfg.max_image_patches
@@ -155,7 +168,8 @@ def main_with_fallback():
     always records a number."""
     if os.environ.get("PADT_BENCH_BATCH") or os.environ.get("PADT_BENCH_SMALL") == "1":
         return main()
-    for b in (96, 64, 32, 16, 8):
+    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (96, 64, 32, 16, 8)
+    for b in ladder:
         try:
             return main(batch=b)
         except Exception as e:

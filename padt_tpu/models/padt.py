@@ -66,6 +66,45 @@ def init_padt_params(cfg: PaDTConfig, key, dtype=jnp.bfloat16) -> Dict[str, Any]
     return params
 
 
+def init_padt_params_quantized(cfg: PaDTConfig, key, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random init with the LLM layer weights DIRECTLY in per-channel int8
+    (+f32 scales), the `quantize_params` layout. For 7B benches on one chip:
+    bf16 7B params are 15.2 GB — they cannot be materialized and THEN
+    quantized inside 15.75 GB HBM, so the quantized layout is built straight
+    away (int8 layers ~6.5 GB + bf16 embed/vision/decoder)."""
+    params = None
+    tc = cfg.text
+    kq, rest = jax.random.split(key)
+
+    # build the non-layer parts with a depth-0 text stack, then add int8 layers
+    slim = cfg.replace(text=__import__("dataclasses").replace(tc, num_hidden_layers=0))
+    params = init_padt_params(slim, rest, dtype)
+
+    nl, d, ff = tc.num_hidden_layers, tc.hidden_size, tc.intermediate_size
+    qd = tc.num_attention_heads * tc.head_dim
+    kvd = tc.num_key_value_heads * tc.head_dim
+    shapes = {
+        "q_w": (d, qd), "k_w": (d, kvd), "v_w": (d, kvd), "o_w": (qd, d),
+        "gate_w": (d, ff), "up_w": (d, ff), "down_w": (ff, d),
+    }
+    # uniform int8 in [-127,127] has std ~73; scale so dequantized weights
+    # match the 0.02-std random init of the dense path
+    scale = 0.02 / 73.0
+    layers = {
+        "input_ln_w": jnp.ones((nl, d), dtype),
+        "post_ln_w": jnp.ones((nl, d), dtype),
+        "q_b": jnp.zeros((nl, qd), dtype),
+        "k_b": jnp.zeros((nl, kvd), dtype),
+        "v_b": jnp.zeros((nl, kvd), dtype),
+    }
+    ks = jax.random.split(kq, len(shapes))
+    for k_i, (name, shp) in zip(ks, shapes.items()):
+        layers[name + "_q"] = jax.random.randint(k_i, (nl, *shp), -127, 128, jnp.int8)
+        layers[name + "_s"] = jnp.full((nl, 1, shp[1]), scale, jnp.float32)
+    params["text"]["layers"] = layers
+    return params
+
+
 def image_prototypes(params, cfg: PaDTConfig, merged: jnp.ndarray) -> jnp.ndarray:
     """merged (B, M, D) raster order -> prototypes (B, M, D) (padt.py:187-191)."""
     if not cfg.use_visual_prototype_projection:

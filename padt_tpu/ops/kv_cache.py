@@ -214,6 +214,223 @@ def store_kv_rows(
     return k8o, ks4o.reshape(b, hkv, c), v8o, vs4o.reshape(b, hkv, c)
 
 
+def _store_rows_k_kernel(
+    pos_ref, k8_ref, ks_ref, v8_ref, vs_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref,
+    k8o_ref, kso_ref, v8o_ref, vso_ref, *, offset: int, kq: int,
+):
+    """K consecutive new rows into a 32-row tile. `offset`=0 writes the tile
+    containing `pos`, offset=1 the next tile (rows that spill across the
+    boundary). Row placement via a 0/1 selection matmul — Mosaic has no
+    dynamic sublane scatter, and (R,K)@(K,d) is one tiny MXU op."""
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(0)
+    r = pos_ref[bi] % _STORE_ROWS - offset * _STORE_ROWS  # in [-R+1, R-1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_STORE_ROWS, kq), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_STORE_ROWS, kq), 1)
+    sel = (ii == r + jj).astype(jnp.float32)  # (R, K) one-hot rows
+    rowmask = (jnp.sum(sel, axis=1, keepdims=True) > 0)
+
+    def put(o_ref, cur_ref, new_ref):
+        cur = cur_ref[0, 0]  # (R, d)
+        new = new_ref[0, 0].astype(jnp.float32)  # (K, d)
+        shifted = jax.lax.dot_general(
+            sel, new, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # exact: 0/1 x int8-range values
+        o_ref[0, 0] = jnp.where(rowmask, shifted.astype(cur.dtype), cur)
+
+    put(k8o_ref, k8_ref, k8n_ref)
+    put(kso_ref, ks_ref, ksn_ref)
+    put(v8o_ref, v8_ref, v8n_ref)
+    put(vso_ref, vs_ref, vsn_ref)
+
+
+def store_kv_rows_k(
+    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8
+    ks: jnp.ndarray,  # (B, Hkv, C) f32
+    v8: jnp.ndarray,
+    vs: jnp.ndarray,
+    k8n: jnp.ndarray,  # (B, Hkv, K, hd) int8 — K consecutive new rows
+    ksn: jnp.ndarray,  # (B, Hkv, K) f32
+    v8n: jnp.ndarray,
+    vsn: jnp.ndarray,
+    pos: jnp.ndarray,  # (B,) int32 — first row position per sample
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`store_kv_rows` for K<=32 consecutive rows per sample (speculative
+    verify step). Two aliased kernel passes cover the straddled tile pair."""
+    from .attention import use_pallas
+
+    b, hkv, c, hd = k8.shape
+    kq = k8n.shape[2]
+    assert kq <= _STORE_ROWS
+    if not use_pallas():
+        upd = jax.vmap(
+            lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0)), (0, 0, 0), 0
+        )
+        upd_s = jax.vmap(
+            lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p)), (0, 0, 0), 0
+        )
+        return upd(k8, k8n, pos), upd_s(ks, ksn, pos), upd(v8, v8n, pos), upd_s(vs, vsn, pos)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = _STORE_ROWS
+    n_tiles = c // R
+    ks4 = ks.reshape(b, hkv, c, 1)
+    vs4 = vs.reshape(b, hkv, c, 1)
+    ksn4 = ksn.reshape(b, hkv, kq, 1)
+    vsn4 = vsn.reshape(b, hkv, kq, 1)
+
+    for offset in (0, 1):
+        tile = (
+            (lambda bi, hi, pos_r: (bi, hi, pos_r[bi] // R, 0))
+            if offset == 0
+            else (lambda bi, hi, pos_r: (bi, hi, jnp.minimum(pos_r[bi] // R + 1, n_tiles - 1), 0))
+        )
+        row = lambda bi, hi, pos_r: (bi, hi, 0, 0)
+        spec_c8 = pl.BlockSpec((1, 1, R, hd), tile)
+        spec_cs = pl.BlockSpec((1, 1, R, 1), tile)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hkv),
+            in_specs=[
+                spec_c8, spec_cs, spec_c8, spec_cs,
+                pl.BlockSpec((1, 1, kq, hd), row),
+                pl.BlockSpec((1, 1, kq, 1), row),
+                pl.BlockSpec((1, 1, kq, hd), row),
+                pl.BlockSpec((1, 1, kq, 1), row),
+            ],
+            out_specs=[spec_c8, spec_cs, spec_c8, spec_cs],
+        )
+        # when the offset-1 tile is clamped (pos already in the LAST tile there
+        # can be no spill: pos+K<=C), force an empty row selection (r=-R)
+        pos_eff = pos if offset == 0 else jnp.where(pos // R + 1 <= n_tiles - 1, pos, 0)
+        k8, ks4, v8, vs4 = pl.pallas_call(
+            functools.partial(_store_rows_k_kernel, offset=offset, kq=kq),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+                jax.ShapeDtypeStruct(ks4.shape, ks4.dtype),
+                jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+                jax.ShapeDtypeStruct(vs4.shape, vs4.dtype),
+            ],
+            input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(pos_eff, k8, ks4, v8, vs4, k8n, ksn4, v8n, vsn4)
+    return k8, ks4.reshape(b, hkv, c), v8, vs4.reshape(b, hkv, c)
+
+
+def _decode_kernel_multi(
+    wp_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, valid_ref, o_ref,
+    *, sm_scale: float, kq: int,
+):
+    """Multi-token (speculative verify) variant of `_decode_kernel`: q rows
+    are (G, kq) flattened; row g*kq+i attends cache positions
+    valid & (pos <= write_pos + i) — causal over the kq new tokens whose KVs
+    were just stored at write_pos..write_pos+kq-1."""
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(0)
+    wp = wp_ref[bi]
+    q = q_ref[0, 0]  # (G*kq, hd) bf16
+    gk, _ = q.shape
+    c = k8_ref.shape[2]
+    k = k8_ref[0, 0].astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (G*kq, C)
+    scores = scores * (ks_ref[0, 0] * sm_scale)
+    pos_c = jax.lax.broadcasted_iota(jnp.int32, (gk, c), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (gk, c), 0) % kq
+    mask = (valid_ref[0] > 0) & (pos_c <= wp + row_i)
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * vs_ref[0, 0]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        pv, v8_ref[0, 0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def decode_attention_int8_multi(
+    q: jnp.ndarray,  # (B, K, H, hd) — K speculative-step queries
+    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8 (new K rows already stored)
+    ks: jnp.ndarray,
+    v8: jnp.ndarray,
+    vs: jnp.ndarray,
+    valid: jnp.ndarray,  # (B, C) bool — INCLUDING the K new positions
+    write_pos: jnp.ndarray,  # (B,) int32 — first new position
+) -> jnp.ndarray:
+    """Grouped K-token attention over the int8 cache -> (B, K, H, hd).
+    Query i attends valid positions <= write_pos + i (causal over the new
+    block). One cache read serves all K queries — the HBM economics that make
+    speculative decoding pay on a bandwidth-bound decode."""
+    from .attention import use_pallas
+
+    b, kq, h, hd = q.shape
+    hkv = k8.shape[1]
+    g = h // hkv
+    # row r = gi*kq + i (head-major): q (B,K,H,hd) -> (B,Hkv,G,K,hd) -> flat
+    qg = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, kq, hd).reshape(b, hkv, g * kq, hd)
+    if use_pallas():
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        c = k8.shape[2]
+        ks4 = ks.reshape(b, hkv, 1, c)
+        vs4 = vs.reshape(b, hkv, 1, c)
+        valid3 = valid.astype(jnp.int32).reshape(b, 1, c)
+        kern = functools.partial(_decode_kernel_multi, sm_scale=1.0 / (hd**0.5), kq=kq)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, g * kq, hd), lambda i, j, *r: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, c, hd), lambda i, j, *r: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, c), lambda i, j, *r: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, c, hd), lambda i, j, *r: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, c), lambda i, j, *r: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, c), lambda i, j, *r: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g * kq, hd), lambda i, j, *r: (i, j, 0, 0)),
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hkv, g * kq, hd), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(write_pos.astype(jnp.int32), qg, k8, ks4, v8, vs4, valid3)
+    else:
+        hd_scale = 1.0 / (hd**0.5)
+        scores = jnp.einsum(
+            "bkrd,bkcd->bkrc", qg.astype(jnp.bfloat16), k8.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * (ks * hd_scale)[:, :, None, :]
+        c = k8.shape[2]
+        pos_c = jnp.arange(c)[None, None, None, :]
+        row_i = (jnp.arange(g * kq) % kq)[None, None, :, None]
+        mask = valid[:, None, None, :] & (pos_c <= write_pos[:, None, None, None] + row_i)
+        scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        pv = (probs * vs[:, :, None, :]).astype(jnp.bfloat16)
+        out = jnp.einsum(
+            "bkrc,bkcd->bkrd", pv, v8.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+    # (B,Hkv,G,K,hd) -> (B,K,Hkv,G,hd) -> (B,K,H,hd): head index = hkv*G + g
+    return out.reshape(b, hkv, g, kq, hd).transpose(0, 3, 1, 2, 4).reshape(b, kq, h, hd)
+
+
 def decode_attention_int8(
     q: jnp.ndarray,  # (B, 1, H, hd) — current step query
     k8: jnp.ndarray,  # (B, Hkv, C, hd) int8

@@ -72,6 +72,13 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndar
 
     Grid (M tiles, N tiles, K chunks) with an fp32 VMEM accumulator — K is
     chunked so large weights (e.g. 11008x2048) never exceed VMEM."""
+    from .attention import use_pallas
+
+    if not use_pallas():
+        # CPU/test fallback: dense dequant matmul (the kernel's oracle)
+        w = wq.astype(jnp.float32) * scale.reshape(1, wq.shape[1]).astype(jnp.float32)
+        return (x.astype(jnp.float32) @ w).astype(x.dtype)
+
     *lead, k = x.shape
     n = wq.shape[1]
     m = 1

