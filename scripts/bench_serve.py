@@ -120,10 +120,12 @@ def main():
     jax.block_until_ready(list(sample.values()))
 
     # ---- engine ----
+    spec = int(os.environ.get("PADT_SERVE_SPEC", "0"))
     eng = ServeEngine(
         params, cfg, n_slots=w["n_slots"], max_new_tokens=max_new,
         prompt_len=prompt_len, prefill_bucket=w["bucket"],
         chunk_steps=w["chunk_steps"], patch_bucket=cfg.max_image_patches,
+        speculative=spec,
     )
     reqs = [
         Request(batch=sample, rope_delta=delta, max_new_tokens=budgets[i], uid=i)
@@ -190,6 +192,12 @@ def main():
             "engine_prefill_s": round(stats.prefill_s, 3),
             "engine_decode_s": round(stats.decode_s, 3),
             "slot_step_utilization": round(stats.slot_step_utilization, 3),
+            "decode_steps": stats.decode_steps,
+            "speculative": spec,
+            "tokens_per_verify_step": (
+                round(stats.generated_tokens / stats.decode_steps, 3)
+                if stats.decode_steps else None
+            ),
             "schedule": sched,
             "fifo_tokens_per_sec": round(fifo_tps, 2) if fifo_tps else None,
             "naive_tokens_per_sec": round(naive_tps, 2) if naive_tps else None,
