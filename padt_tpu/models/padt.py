@@ -98,8 +98,18 @@ def init_padt_params_quantized(cfg: PaDTConfig, key, dtype=jnp.bfloat16) -> Dict
         "v_b": jnp.zeros((nl, kvd), dtype),
     }
     ks = jax.random.split(kq, len(shapes))
+    # per-layer generation: randint materializes uint32 random bits of the
+    # FULL output shape (7.6 GB for 7B's stacked mlp weights) — lax.map keeps
+    # the transient to one layer (~271 MB)
+    gen = jax.jit(
+        lambda k, shp: jax.lax.map(
+            lambda kk: jax.random.randint(kk, shp, -127, 128, jnp.int8),
+            jax.random.split(k, nl),
+        ),
+        static_argnums=(1,),
+    )
     for k_i, (name, shp) in zip(ks, shapes.items()):
-        layers[name + "_q"] = jax.random.randint(k_i, (nl, *shp), -127, 128, jnp.int8)
+        layers[name + "_q"] = gen(k_i, shp)
         layers[name + "_s"] = jnp.full((nl, 1, shp[1]), scale, jnp.float32)
     params["text"]["layers"] = layers
     return params

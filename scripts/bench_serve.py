@@ -103,6 +103,17 @@ def main():
     cfg, w = _workload()
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
+    loopy = os.environ.get("PADT_SERVE_LOOPY", "0") == "1"
+    if loopy:
+        # Confine greedy decoding to a small token set so outputs LOOP — a
+        # measurable proxy for the repetitive/templated completions real PaDT
+        # checkpoints emit ("The \"...\" refers to ... in this image."), which
+        # random 3B weights cannot reproduce (they wander a 152k vocab and
+        # n-gram drafts never hit). Used to measure speculative decoding's
+        # high-acceptance regime at full model shapes.
+        emb = params["text"]["embed"]
+        keep = (jnp.arange(emb.shape[0]) < 384)[:, None]
+        params["text"]["embed"] = jnp.where(keep, emb, emb * 1e-2)
     sample, delta, prompt_len = _build_sample(cfg, w["grid"], w["prompt_extra"])
 
     # 12:3:1 rec/ovd/tail mix, deterministically shuffled — the reference's
@@ -194,6 +205,7 @@ def main():
             "slot_step_utilization": round(stats.slot_step_utilization, 3),
             "decode_steps": stats.decode_steps,
             "speculative": spec,
+            "loopy_outputs": loopy,
             "tokens_per_verify_step": (
                 round(stats.generated_tokens / stats.decode_steps, 3)
                 if stats.decode_steps else None
