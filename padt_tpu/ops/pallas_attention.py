@@ -235,14 +235,18 @@ def _flash_bwd(causal, scale, res, g):
     b, s_q, h, _ = q.shape
     hkv = k.shape[2]
     n_rep = h // hkv
-    kf = jnp.repeat(k, n_rep, axis=2).astype(jnp.float32)
-    vf = jnp.repeat(v, n_rep, axis=2).astype(jnp.float32)
+    # matmul operands stay in the STORAGE dtype (bf16 in training, f32 in the
+    # CPU tests) with fp32 accumulation — fp32 operands ran the whole backward
+    # at the MXU's 1/8 fp32 rate; softmax/ds elementwise math stays fp32
+    mm = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
+    kf = jnp.repeat(k, n_rep, axis=2)
+    vf = jnp.repeat(v, n_rep, axis=2)
 
     blk = 256 if s_q >= 256 else s_q
     nblk = _round_up(s_q, blk) // blk
     s_pad = nblk * blk
-    qp = jnp.pad(q, [(0, 0), (0, s_pad - s_q), (0, 0), (0, 0)]).astype(jnp.float32)
-    gp = jnp.pad(g, [(0, 0), (0, s_pad - s_q), (0, 0), (0, 0)]).astype(jnp.float32)
+    qp = jnp.pad(q, [(0, 0), (0, s_pad - s_q), (0, 0), (0, 0)])
+    gp = jnp.pad(g, [(0, 0), (0, s_pad - s_q), (0, 0), (0, 0)]).astype(q.dtype)
     qsegp = jnp.pad(q_seg, [(0, 0), (0, s_pad - s_q)], constant_values=-1)
 
     def chunk(qi, carry):
@@ -250,7 +254,7 @@ def _flash_bwd(causal, scale, res, g):
         qs = jax.lax.dynamic_slice_in_dim(qp, qi * blk, blk, axis=1)
         gs = jax.lax.dynamic_slice_in_dim(gp, qi * blk, blk, axis=1)
         qseg_s = jax.lax.dynamic_slice_in_dim(qsegp, qi * blk, blk, axis=1)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qs, kf) * real_scale
+        scores = mm("bqhd,bkhd->bhqk", qs, kf) * real_scale
         mask = (qseg_s[:, None, :, None] == k_seg[:, None, None, :]) & (
             k_seg[:, None, None, :] >= 0
         )
@@ -260,12 +264,12 @@ def _flash_bwd(causal, scale, res, g):
         scores = jnp.where(mask, scores, NEG_INF)
         p = jax.nn.softmax(scores, axis=-1)
         p = jnp.where(mask, p, 0.0)
-        dv = jnp.einsum("bhqk,bqhd->bkhd", p, gs)
-        dp = jnp.einsum("bqhd,bkhd->bhqk", gs, vf)
+        dv = mm("bhqk,bqhd->bkhd", p.astype(q.dtype), gs)
+        dp = mm("bqhd,bkhd->bhqk", gs, vf)
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)
         ds = p * (dp - delta) * real_scale
-        dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf)
-        dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qs)
+        dq = mm("bhqk,bkhd->bqhd", ds.astype(q.dtype), kf)
+        dk = mm("bhqk,bqhd->bkhd", ds.astype(q.dtype), qs)
         dq_acc = jax.lax.dynamic_update_slice_in_dim(dq_acc, dq, qi * blk, axis=1)
         return dq_acc, dk_acc + dk, dv_acc + dv
 

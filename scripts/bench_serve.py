@@ -114,6 +114,11 @@ def main():
         emb = params["text"]["embed"]
         keep = (jnp.arange(emb.shape[0]) < 384)[:, None]
         params["text"]["embed"] = jnp.where(keep, emb, emb * 1e-2)
+        # damp the VRT logit path too (proto == merged at zero-init LN):
+        # otherwise the 576 prototype slots keep greedy wandering
+        mg = dict(params["vision"]["merger"])
+        mg["fc2"] = {k: v * 1e-2 for k, v in mg["fc2"].items()}
+        params["vision"] = dict(params["vision"], merger=mg)
     sample, delta, prompt_len = _build_sample(cfg, w["grid"], w["prompt_extra"])
 
     # 12:3:1 rec/ovd/tail mix, deterministically shuffled — the reference's
