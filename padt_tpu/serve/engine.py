@@ -307,6 +307,7 @@ def decode_chunk_spec(
     state: DecodeState,
     n_steps,  # () int32 — macro-step bound
     draft_k: int,
+    oracle_seq=None,  # (T,) int32 — benchmark-only: known-correct drafts
 ) -> DecodeState:
     """Speculative (greedy-only) decode chunk: each macro-step drafts
     `draft_k - 1` tokens by prompt-lookup, verifies all of them plus the base
@@ -331,10 +332,18 @@ def decode_chunk_spec(
         t0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
         t0 = jnp.where(st.active, t0, cfg.pad_token_id)
 
-        last1 = jnp.take_along_axis(
-            st.ctx, jnp.clip(st.ctx_len[:, None] - 1, 0, cap - 1), axis=1
-        )[:, 0]
-        draft = _bigram_draft(st.ctx, st.ctx_len, None, last1, t0, kq)  # (B, kq-1)
+        if oracle_seq is not None:
+            # mechanism-ceiling measurement: drafts ARE the reference tokens
+            # (verification still runs; acceptance is 100% by construction)
+            gi = jnp.clip(
+                st.n_gen[:, None] + 1 + jnp.arange(kq - 1)[None, :], 0, oracle_seq.shape[0] - 1
+            )
+            draft = oracle_seq[gi]
+        else:
+            last1 = jnp.take_along_axis(
+                st.ctx, jnp.clip(st.ctx_len[:, None] - 1, 0, cap - 1), axis=1
+            )[:, 0]
+            draft = _bigram_draft(st.ctx, st.ctx_len, None, last1, t0, kq)  # (B, kq-1)
         inputs = jnp.concatenate([t0[:, None], draft], axis=1)  # (B, K)
 
         emb = padt_model.extended_embed(params, cfg, inputs, st.proto)
@@ -536,6 +545,7 @@ class ServeEngine:
         prefill_bucket_small: Optional[int] = None,
         max_chunk_steps: Optional[int] = None,
         speculative: int = 0,
+        oracle_draft_seq=None,  # benchmark-only: see decode_chunk_spec
     ):
         self.params = params
         self.cfg = cfg
@@ -560,6 +570,7 @@ class ServeEngine:
         if speculative and do_sample:
             raise ValueError("speculative decoding is greedy-only (exactness)")
         self.speculative = int(speculative)
+        self.oracle_draft_seq = oracle_draft_seq
         # spec verify writes K rows past write_pos before acceptance is known:
         # reserve K headroom so a slot at its last token never clamps back
         # onto live rows
@@ -580,8 +591,10 @@ class ServeEngine:
         # budget-aware scheduler picks (chunk_steps..max_chunk_steps)
         if self.speculative:
             kq = self.speculative
+            osq = getattr(self, "oracle_draft_seq", None)
+            osq = None if osq is None else jnp.asarray(osq, jnp.int32)
             self._chunk = jax.jit(
-                lambda p, st, n: decode_chunk_spec(p, c, st, n, kq),
+                lambda p, st, n: decode_chunk_spec(p, c, st, n, kq, osq),
                 donate_argnums=(1,),
             )
         else:

@@ -137,11 +137,22 @@ def main():
 
     # ---- engine ----
     spec = int(os.environ.get("PADT_SERVE_SPEC", "0"))
+    oracle_seq = None
+    oracle = os.environ.get("PADT_SERVE_SPEC_ORACLE", "0") == "1" and spec > 0
+    if oracle:
+        # mechanism-ceiling mode: record one greedy run's tokens, feed them
+        # back as drafts -> 100% acceptance. Every request in this bench is
+        # the SAME sample, so one sequence drafts them all. Random weights
+        # can't exhibit templated-output acceptance; this bounds it from above.
+        ref = jax.jit(
+            lambda p, bt, d: P.generate(p, cfg, bt, max_new, d, kv_cache_dtype="int8")
+        )(params, {k: v for k, v in sample.items()}, jnp.asarray([delta], jnp.int32))
+        oracle_seq = np.asarray(ref.tokens)[0]
     eng = ServeEngine(
         params, cfg, n_slots=w["n_slots"], max_new_tokens=max_new,
         prompt_len=prompt_len, prefill_bucket=w["bucket"],
         chunk_steps=w["chunk_steps"], patch_bucket=cfg.max_image_patches,
-        speculative=spec,
+        speculative=spec, oracle_draft_seq=oracle_seq,
     )
     reqs = [
         Request(batch=sample, rope_delta=delta, max_new_tokens=budgets[i], uid=i)
