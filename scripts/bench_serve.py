@@ -140,14 +140,23 @@ def main():
     oracle_seq = None
     oracle = os.environ.get("PADT_SERVE_SPEC_ORACLE", "0") == "1" and spec > 0
     if oracle:
-        # mechanism-ceiling mode: record one greedy run's tokens, feed them
-        # back as drafts -> 100% acceptance. Every request in this bench is
-        # the SAME sample, so one sequence drafts them all. Random weights
-        # can't exhibit templated-output acceptance; this bounds it from above.
-        ref = jax.jit(
-            lambda p, bt, d: P.generate(p, cfg, bt, max_new, d, kv_cache_dtype="int8")
-        )(params, {k: v for k, v in sample.items()}, jnp.asarray([delta], jnp.int32))
-        oracle_seq = np.asarray(ref.tokens)[0]
+        # Mechanism-ceiling mode: 100% draft acceptance. The oracle sequence
+        # must come from the SPEC engine itself — on random bf16 weights the
+        # argmax margins are below kernel-order noise, so a plain-generate
+        # reference desyncs after a few tokens (measured: acceptance fell to
+        # ~1.08). Every request here is the same sample, so one probe run's
+        # tokens draft them all. Bounds templated-output acceptance from above.
+        probe_eng = ServeEngine(
+            params, cfg, n_slots=w["n_slots"], max_new_tokens=max_new,
+            prompt_len=prompt_len, prefill_bucket=w["bucket"],
+            chunk_steps=w["chunk_steps"], patch_bucket=cfg.max_image_patches,
+            speculative=spec,
+        )
+        probe = [Request(batch=sample, rope_delta=delta, max_new_tokens=max_new, uid=-9)]
+        pres, _ = probe_eng.run(probe)
+        oracle_seq = np.full((max_new,), cfg.pad_token_id, np.int64)
+        oracle_seq[: pres[0].n_gen] = pres[0].tokens
+        del probe_eng  # free its slot pool before the measured engine builds
     eng = ServeEngine(
         params, cfg, n_slots=w["n_slots"], max_new_tokens=max_new,
         prompt_len=prompt_len, prefill_bucket=w["bucket"],
