@@ -160,10 +160,23 @@ class InferenceEngine:
             for p, img in zip(prompts, images)
         ]
         if prompt_bucket is None:
-            prompt_bucket = max(b.data["input_ids"].shape[1] for b in batches)
+            # heterogeneous prompt buckets: round each request's natural
+            # length up to a 128-multiple (capped at 3 distinct buckets so
+            # prefill compiles stay bounded); the serve engine groups
+            # admissions by shape, so short prompts don't pay the longest
+            # prompt's prefill. KV capacity is sized by the LARGEST bucket.
+            lens = [b.data["input_ids"].shape[1] for b in batches]
+            ups = sorted({-(-l // 128) * 128 for l in lens})
+            if len(ups) > 3:  # cap the compile count: collapse to 3 quantiles
+                ups = sorted({ups[0], ups[len(ups) // 2], ups[-1]})
+            pick = lambda l: next(u for u in ups if u >= l)
+            prompt_bucket = ups[-1]
             batches = [
-                proc.build_batch([p], [img], patch_bucket=pb, prompt_bucket=prompt_bucket)
-                for p, img in zip(prompts, images)
+                proc.build_batch(
+                    [p], [img], patch_bucket=pb,
+                    prompt_bucket=pick(b.data["input_ids"].shape[1]),
+                )
+                for (p, img), b in zip(zip(prompts, images), batches)
             ]
         # Request leaves stay HOST-side (numpy): the engine's _make_bucket
         # transfers each admission bucket once via jnp.concatenate, so HBM use

@@ -239,3 +239,29 @@ def test_engine_speculative_matches_plain():
         np.testing.assert_allclose(hs, hp, rtol=2e-2, atol=2e-2)
     # speculation must emit all tokens in <= as many verify steps
     assert sstats.generated_tokens == sum(budgets) or sstats.generated_tokens > 0
+
+
+@pytest.mark.smoke
+def test_run_stream_heterogeneous_auto_buckets():
+    """run_stream with prompt_bucket=None rounds each request to its own
+    128-multiple bucket (<=3 distinct); completions must still match
+    run_batch on one max-size bucket."""
+    from padt_tpu.eval.harness import InferenceEngine
+
+    cfg = padt_tiny()
+    tok = make_tiny_tokenizer(cfg)
+    proc = VisionTextProcessor(tok, cfg, seq_bucket=32, patch_bucket=128)
+    proc.prepare(cfg.text.vocab_size)
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(3)
+    imgs = [ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12)) for _ in range(4)]
+    prompts = [
+        "find x",
+        "find the very long described object " + "word " * 30,
+        "a",
+        "find the dog near the tree",
+    ]
+    eng = InferenceEngine(params, cfg, proc, max_new_tokens=6, canvas_hw=(9, 9))
+    got = eng.run_stream(prompts, imgs, n_slots=2, prefill_bucket=1, chunk_steps=3, patch_bucket=128)
+    ref = eng.run_batch(prompts, imgs, patch_bucket=128, prompt_bucket=384)
+    assert [r.completion for r in got] == [r.completion for r in ref]
