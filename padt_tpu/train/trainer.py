@@ -89,6 +89,9 @@ class TrainArgs:
     random_select_patch: bool = False
     random_select_patch_num: int = 5
     freeze_vision_modules: bool = False
+    # "adamw" (reference HF default) | "adafactor" (factored second moments —
+    # the single-chip-3B memory configuration, see BASELINE.md training table)
+    optimizer: str = "adamw"
     # static shape buckets
     prompt_bucket: Optional[int] = None
     completion_bucket: Optional[int] = None
@@ -131,12 +134,20 @@ class PaDTTrainer:
                 f"effective batch — no train steps will run"
             )
         self.total_steps = max(int(n_batches_per_epoch * args.num_train_epochs), 1)
+        frozen_mask = None
+        if args.freeze_vision_modules:
+            # no optimizer-state buffers for the frozen tower
+            frozen_mask = lambda p: jax.tree_util.tree_map_with_path(
+                lambda path, _: bool(path) and getattr(path[0], "key", None) == "vision", p
+            )
         self.optimizer = make_optimizer(
             learning_rate=args.learning_rate,
             weight_decay=args.weight_decay,
             max_grad_norm=args.max_grad_norm,
             warmup_steps=args.warmup_steps,
             total_steps=self.total_steps,
+            optimizer=args.optimizer,
+            frozen_mask=frozen_mask,
         )
         with self.mesh:
             self.opt_state = jax.jit(

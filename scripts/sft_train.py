@@ -46,6 +46,7 @@ def parse_args():
     ap.add_argument("--random_select_patch", action="store_true", default=False)
     ap.add_argument("--random_select_patch_num", type=int, default=5)
     ap.add_argument("--freeze_vision_modules", action="store_true", default=False)
+    ap.add_argument("--optimizer", default="adamw", choices=["adamw", "adafactor"])
     ap.add_argument("--resume_from_checkpoint", default="false")
     ap.add_argument("--mesh_data", type=int, default=1)
     ap.add_argument("--mesh_fsdp", type=int, default=1)
@@ -101,6 +102,7 @@ def main():
         random_select_patch=a.random_select_patch,
         random_select_patch_num=a.random_select_patch_num,
         freeze_vision_modules=a.freeze_vision_modules,
+        optimizer=a.optimizer,
         prompt_bucket=a.prompt_bucket,
         completion_bucket=a.completion_bucket,
         patch_bucket=a.patch_bucket,
