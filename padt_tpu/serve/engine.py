@@ -308,6 +308,8 @@ def decode_chunk_spec(
     n_steps,  # () int32 — macro-step bound
     draft_k: int,
     oracle_seq=None,  # (T,) int32 — benchmark-only: known-correct drafts
+    force_accept: bool = False,  # benchmark-only: bypass verification to
+    #   measure the K-accept throughput ceiling (outputs NOT valid tokens)
 ) -> DecodeState:
     """Speculative (greedy-only) decode chunk: each macro-step drafts
     `draft_k - 1` tokens by prompt-lookup, verifies all of them plus the base
@@ -356,6 +358,8 @@ def decode_chunk_spec(
         # longest accepted draft prefix: draft[:, i] must equal g[:, i]
         ok = draft == g[:, :-1]  # (B, K-1)
         acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)  # 0..K-1
+        if force_accept:
+            acc = jnp.full_like(acc, kq - 1)
         emitted = 1 + acc  # t0 always exact
 
         # EOS truncation: stop at the first eos AMONG the emitted tokens
@@ -546,6 +550,7 @@ class ServeEngine:
         max_chunk_steps: Optional[int] = None,
         speculative: int = 0,
         oracle_draft_seq=None,  # benchmark-only: see decode_chunk_spec
+        force_accept: bool = False,  # benchmark-only: K-accept ceiling timing
     ):
         self.params = params
         self.cfg = cfg
@@ -571,6 +576,7 @@ class ServeEngine:
             raise ValueError("speculative decoding is greedy-only (exactness)")
         self.speculative = int(speculative)
         self.oracle_draft_seq = oracle_draft_seq
+        self.force_accept = force_accept
         # spec verify writes K rows past write_pos before acceptance is known:
         # reserve K headroom so a slot at its last token never clamps back
         # onto live rows
@@ -593,8 +599,9 @@ class ServeEngine:
             kq = self.speculative
             osq = getattr(self, "oracle_draft_seq", None)
             osq = None if osq is None else jnp.asarray(osq, jnp.int32)
+            fa = bool(getattr(self, "force_accept", False))
             self._chunk = jax.jit(
-                lambda p, st, n: decode_chunk_spec(p, c, st, n, kq, osq),
+                lambda p, st, n: decode_chunk_spec(p, c, st, n, kq, osq, fa),
                 donate_argnums=(1,),
             )
         else:
