@@ -113,6 +113,115 @@ def _decode_attention_int8_pallas(q, k8, ks, v8, vs, valid):
     )(q, k8, ks4, v8, vs4, valid3)
 
 
+_KV_TILE = 256  # k-tile rows for the length-aware decode kernel
+
+
+def _decode_kernel_tiled(
+    hi_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, valid_ref, o_ref,
+    m_ref, l_ref, acc_ref, *, sm_scale: float,
+):
+    """Flash-style tiled variant of `_decode_kernel`: the k-range grid dim
+    walks only the tiles below each sample's live length (`hi_ref`); the
+    caller's clamped index map re-presents the last live tile for the padding
+    steps, so dead capacity rows are never DMA'd from HBM (at 640-token
+    prompts in a 1280-capacity cache that is ~45% of the KV stream)."""
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(0)
+    kt = pl.program_id(2)
+    nt = pl.num_programs(2)
+
+    @pl.when(kt == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kt < hi_ref[bi])
+    def _():
+        q = q_ref[0, 0]  # (G, hd) bf16
+        k = k8_ref[0, 0].astype(jnp.bfloat16)  # (T, hd)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (G, T)
+        s = s * (ks_ref[0, 0] * sm_scale)
+        s = jnp.where(valid_ref[0] > 0, s, NEG_INF)
+        m_blk = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_ref[:], m_blk)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(valid_ref[0] > 0, p, 0.0)
+        corr = jnp.exp(m_ref[:] - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs_ref[0, 0]).astype(jnp.bfloat16)
+        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            pv, v8_ref[0, 0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
+        )
+        m_ref[:] = m_new
+
+    @pl.when(kt == nt - 1)
+    def _():
+        l = l_ref[:]
+        o_ref[0, 0] = jnp.where(l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0).astype(
+            o_ref.dtype
+        )
+
+
+def _decode_attention_int8_pallas_tiled(q, k8, ks, v8, vs, valid, n_valid):
+    """`_decode_attention_int8_pallas` reading only live k-tiles.
+
+    n_valid: (B,) int32 — positions >= n_valid[b] are dead for sample b (they
+    may be skipped regardless of `valid`, which still masks left padding and
+    holes below n_valid)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hkv, g, hd = q.shape
+    c = k8.shape[2]
+    t = _KV_TILE
+    if c % t != 0:
+        return _decode_attention_int8_pallas(q, k8, ks, v8, vs, valid)
+    nt = c // t
+    hi = jnp.clip((n_valid.astype(jnp.int32) + t - 1) // t, 1, nt)  # (B,) tiles needed
+    ks4 = ks.reshape(b, hkv, 1, c)
+    vs4 = vs.reshape(b, hkv, 1, c)
+    valid3 = valid.reshape(b, 1, c)
+
+    # clamped k-tile index: padding grid steps re-present the last live tile
+    # (same block index as the previous step -> Mosaic skips the DMA)
+    kt_idx = lambda i, j, kt, hi_r: (i, j, jnp.minimum(kt, hi_r[i] - 1), 0)
+    kt_idx3 = lambda i, j, kt, hi_r: (i, 0, jnp.minimum(kt, hi_r[i] - 1))
+    fixed = lambda i, j, kt, hi_r: (i, j, 0, 0)
+    kern = functools.partial(_decode_kernel_tiled, sm_scale=1.0 / (hd**0.5))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), fixed),
+            pl.BlockSpec((1, 1, t, hd), kt_idx),
+            pl.BlockSpec((1, 1, 1, t), lambda i, j, kt, hi_r: (i, j, 0, jnp.minimum(kt, hi_r[i] - 1))),
+            pl.BlockSpec((1, 1, t, hd), kt_idx),
+            pl.BlockSpec((1, 1, 1, t), lambda i, j, kt, hi_r: (i, j, 0, jnp.minimum(kt, hi_r[i] - 1))),
+            pl.BlockSpec((1, 1, t), kt_idx3),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), fixed),
+        scratch_shapes=[
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, hd), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(hi, q, k8, ks4, v8, vs4, valid3)
+
+
 # ---------------------------------------------------------------------------
 # Per-sample KV row store (serve engine): each slot writes its new token at
 # its OWN cache position. A vmapped dynamic_update_slice lowers to an XLA
@@ -438,6 +547,8 @@ def decode_attention_int8(
     v8: jnp.ndarray,
     vs: jnp.ndarray,
     valid: jnp.ndarray,  # (B, C) bool
+    n_valid=None,  # (B,) or () int32 — live length per sample; positions
+    #               beyond it are skipped WITHOUT reading them from HBM
 ) -> jnp.ndarray:
     """Single-step grouped-query attention over the int8 cache -> (B, 1, H, hd)."""
     from .attention import use_pallas
@@ -447,7 +558,11 @@ def decode_attention_int8(
     qg = q.reshape(b, hkv, h // hkv, hd)  # kv head j serves q heads [jG, (j+1)G)
     valid_i = valid.astype(jnp.int32)
     if use_pallas():
-        out = _decode_attention_int8_pallas(qg, k8, ks, v8, vs, valid_i)
+        if n_valid is not None:
+            nv = jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32), (b,))
+            out = _decode_attention_int8_pallas_tiled(qg, k8, ks, v8, vs, valid_i, nv)
+        else:
+            out = _decode_attention_int8_pallas(qg, k8, ks, v8, vs, valid_i)
     else:
         out = _decode_attention_int8_xla(qg, k8, ks, v8, vs, valid.astype(bool))
     return out.reshape(b, 1, h, hd)

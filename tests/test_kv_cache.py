@@ -321,3 +321,40 @@ def test_decode_attention_int8_multi_matches_oracle():
             np.asarray(out[:, i], np.float32), np.asarray(one[:, 0], np.float32),
             atol=2e-2, rtol=2e-2,
         )
+
+
+@pytest.mark.smoke
+def test_tiled_decode_kernel_matches_oracle():
+    """Length-aware tiled decode kernel: partial live lengths (incl. tile
+    boundaries and sub-tile lengths) must match the XLA oracle exactly —
+    dead-capacity tiles are skipped without being read."""
+    import contextlib
+
+    rng = np.random.RandomState(9)
+    b, hkv, g, hd, c = 4, 2, 8, 128, 1024
+    q = jnp.asarray(rng.randn(b, 1, hkv * g, hd) * 0.3, jnp.bfloat16)
+    k8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.3, (b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.3, (b, hkv, c)), jnp.float32)
+    n_valid = jnp.asarray([100, 256, 257, 1024], jnp.int32)  # sub-tile/edge/cross/full
+    valid = np.zeros((b, c), bool)
+    for i in range(b):
+        valid[i, 3 : int(n_valid[i])] = True  # left padding + live region
+    valid = jnp.asarray(valid)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = KV.decode_attention_int8(q, k8, ks, v8, vs, valid)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out = KV.decode_attention_int8(q, k8, ks, v8, vs, valid, n_valid=n_valid)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
