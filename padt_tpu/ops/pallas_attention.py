@@ -52,9 +52,19 @@ def _dot_precision(dtype):
     return jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16 else None
 
 
+def _flash_bwd_impl() -> str:
+    """Backward implementation: 'pallas' (true flash backward kernels, saves
+    the fwd LSE) or 'xla' (chunked recompute — the CPU-test oracle). Read at
+    trace time; PADT_FLASH_BWD overrides for experiments/tests."""
+    mode = os.environ.get("PADT_FLASH_BWD", "auto")
+    if mode in ("pallas", "xla"):
+        return mode
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def _fwd_kernel(
     lo_ref, hi_ref, q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, o_ref,
-    *, blk_k: int, causal: bool, scale: float,
+    *extra_outs, blk_k: int, causal: bool, scale: float,
 ):
     """lo/hi (scalar-prefetch, (B, n_qb)): the k-block range whose segments can
     intersect this q block. Windowed vision layers touch ~1-2 of ~18 blocks —
@@ -108,6 +118,12 @@ def _fwd_kernel(
     m, l, acc = jax.lax.fori_loop(lo, hi, body, (m0, l0, acc0))
     out = jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
     o_ref[0, 0] = out.astype(o_ref.dtype)
+    if extra_outs:
+        # logsumexp per row for the flash backward; fully-masked (pad) rows
+        # get +big so exp(s - lse) underflows to exactly 0 downstream
+        (lse_ref,) = extra_outs
+        lse = jnp.where(l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), 1e30)
+        lse_ref[0] = lse.reshape(1, blk_q).astype(jnp.float32)
 
 
 def _pick_block(s: int) -> int:
@@ -161,6 +177,7 @@ def _flash_raw(
     scale: float,
     blk_q: Optional[int] = None,
     blk_k: Optional[int] = None,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     blk_q = blk_q or _pick_block(q.shape[2])
     blk_k = blk_k or _pick_block(k.shape[2])
@@ -185,16 +202,26 @@ def _flash_raw(
             pl.BlockSpec((1, 1, s_k, d), lambda bi, hi_, qi, *refs: (bi, hi_ // n_rep, 0, 0)),
             pl.BlockSpec((1, 1, s_k, d), lambda bi, hi_, qi, *refs: (bi, hi_ // n_rep, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi_, qi, *refs: (bi, hi_, qi, 0)),
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi_, qi, *refs: (bi, hi_, qi, 0)),
+            # lse rides in a (B*H, 1, S) layout: a (1, 1, blk_q) block on a
+            # (B, H, S) array is Mosaic-illegal (second-to-last block dim 1 !=
+            # array dim H) — same trick as the (B, 1, S) segment inputs
+        ] + ([pl.BlockSpec((1, 1, blk_q), lambda bi, hi_, qi, *refs: (bi * h + hi_, 0, qi))]
+             if return_lse else []),
     )
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype)]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 1, s_q), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(lo, hi, q_seg[:, None, :], k_seg[:, None, :], q, k, v)
+    return tuple(res) if return_lse else res[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -219,15 +246,29 @@ def _prep(q, k, v):
 def _flash_fwd(q, k, v, q_seg, k_seg, causal, scale):
     qt, kt, vt, d = _prep(q, k, v)
     real_scale = (1.0 / (d**0.5)) if scale is None else scale
-    out = _flash_raw(qt, kt, vt, q_seg.astype(jnp.int32), k_seg.astype(jnp.int32), causal, real_scale)
+    if _flash_bwd_impl() == "pallas":
+        out, lse = _flash_raw(
+            qt, kt, vt, q_seg.astype(jnp.int32), k_seg.astype(jnp.int32),
+            causal, real_scale, return_lse=True,
+        )
+    else:
+        out = _flash_raw(qt, kt, vt, q_seg.astype(jnp.int32), k_seg.astype(jnp.int32), causal, real_scale)
+        lse = None
     out = out.transpose(0, 2, 1, 3)[..., :d]
-    return out, (q, k, v, q_seg, k_seg, out)
+    return out, (q, k, v, q_seg, k_seg, out, lse)
 
 
 def _flash_bwd(causal, scale, res, g):
+    q, k, v, q_seg, k_seg, out, lse = res
+    if lse is None:
+        return _flash_bwd_xla(causal, scale, (q, k, v, q_seg, k_seg, out), g)
+    return _flash_bwd_pallas(causal, scale, (q, k, v, q_seg, k_seg, out, lse), g)
+
+
+def _flash_bwd_xla(causal, scale, res, g):
     """Reference-style recompute backward in plain XLA but CHUNKED over query
-    blocks to bound memory (O(S*blk) scores). Simpler than a hand-written
-    Pallas backward and still avoids the O(S^2) full materialization."""
+    blocks to bound memory (O(S*blk) scores). The CPU-test oracle for the
+    Pallas backward kernels, and the path the vision backward reuses."""
     q, k, v, q_seg, k_seg, out = res
     d = q.shape[-1]
     real_scale = (1.0 / (d**0.5)) if scale is None else scale
@@ -285,6 +326,213 @@ def _flash_bwd(causal, scale, res, g):
         dq.astype(q.dtype),
         dk.astype(k.dtype),
         dv.astype(v.dtype),
+        None,
+        None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# True flash backward (TPU): two Pallas kernels consuming the forward's saved
+# logsumexp. Versus the chunked XLA recompute (`_flash_bwd_xla`) this keeps the
+# O(S^2) probs/score-grad tensors in VMEM (the recompute writes ~3 score-sized
+# fp32 buffers per layer through HBM — ~90 ms/step at the 3B SFT bench shapes)
+# and folds GQA head groups in-kernel instead of materializing
+# `jnp.repeat`-expanded K/V and (B, S, H, D) dk/dv accumulators.
+#   dq kernel:  grid (B, H, n_qb), streams k-blocks like the forward.
+#   dkv kernel: grid (B, Hkv, n_kb, n_rep) — rep INNERMOST so the (bi, hkv, kb)
+#     output block stays VMEM-resident across the consecutive revisits that
+#     accumulate the head group's contributions (legal Pallas output pattern).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    lo_ref, hi_ref, q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, g_ref,
+    lse_ref, delta_ref, dq_ref, *, blk_k: int, causal: bool, scale: float,
+):
+    blk_q, d = q_ref.shape[2], q_ref.shape[3]
+    bi = pl.program_id(0)
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]  # (blk_q, d) storage dtype
+    g = g_ref[0, 0]
+    qseg = q_seg_ref[0, 0].reshape(blk_q, 1)
+    lse = lse_ref[0, 0].reshape(blk_q, 1)
+    delta = delta_ref[0, 0].reshape(blk_q, 1)
+    q_pos = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+    prec = _dot_precision(q.dtype)
+
+    def body(kb, acc):
+        k = k_ref[0, 0, pl.ds(kb * blk_k, blk_k), :]
+        v = v_ref[0, 0, pl.ds(kb * blk_k, blk_k), :]
+        kseg = k_seg_ref[0, 0, pl.ds(kb * blk_k, blk_k)].reshape(1, blk_k)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
+        ) * scale
+        mask = (qseg == kseg) & (kseg >= 0)
+        if causal:
+            k_pos = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+            mask = mask & (q_pos >= k_pos)
+        # p = softmax prob exactly: lse = m + log(l); pad rows carry lse=+big
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(v.dtype),
+        )
+        ds_ = (p * (dp - delta) * scale).astype(q.dtype)
+        return acc + jax.lax.dot_general(
+            ds_, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    acc0 = jnp.zeros((blk_q, d), jnp.float32)
+    acc = jax.lax.fori_loop(lo_ref[bi, qi], hi_ref[bi, qi], body, acc0)
+    dq_ref[0, 0] = acc.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    qlo_ref, qhi_ref, q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, g_ref,
+    lse_ref, delta_ref, dk_ref, dv_ref, *, blk_q: int, causal: bool, scale: float,
+):
+    blk_k, d = k_ref.shape[2], k_ref.shape[3]
+    bi = pl.program_id(0)
+    kb = pl.program_id(2)
+    rep = pl.program_id(3)
+    k = k_ref[0, 0]  # (blk_k, d)
+    v = v_ref[0, 0]
+    kseg = k_seg_ref[0, 0].reshape(blk_k, 1)
+    k_pos = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0)
+    prec = _dot_precision(k.dtype)
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, 0, pl.ds(qb * blk_q, blk_q), :]
+        g = g_ref[0, 0, pl.ds(qb * blk_q, blk_q), :]
+        qseg = q_seg_ref[0, 0, pl.ds(qb * blk_q, blk_q)].reshape(1, blk_q)
+        lse = lse_ref[0, 0, pl.ds(qb * blk_q, blk_q)].reshape(1, blk_q)
+        delta = delta_ref[0, 0, pl.ds(qb * blk_q, blk_q)].reshape(1, blk_q)
+        s_t = jax.lax.dot_general(  # (blk_k, blk_q) transposed scores
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
+        ) * scale
+        mask = (kseg == qseg) & (kseg >= 0)
+        if causal:
+            q_pos = qb * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 1)
+            mask = mask & (q_pos >= k_pos)
+        p_t = jnp.where(mask, jnp.exp(s_t - lse), 0.0)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_t.astype(g.dtype), g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_dot_precision(g.dtype),
+        )
+        dp_t = jax.lax.dot_general(
+            v, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(v.dtype),
+        )
+        ds_t = (p_t * (dp_t - delta) * scale).astype(q.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((blk_k, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(
+        qlo_ref[bi, kb], qhi_ref[bi, kb], body, (z, z)
+    )
+
+    @pl.when(rep == 0)
+    def _init():
+        dk_ref[0, 0] = dk_acc
+        dv_ref[0, 0] = dv_acc
+
+    @pl.when(rep > 0)
+    def _accum():
+        dk_ref[0, 0] += dk_acc
+        dv_ref[0, 0] += dv_acc
+
+
+def _flash_bwd_pallas(causal, scale, res, g):
+    q, k, v, q_seg, k_seg, out, lse = res
+    d = q.shape[-1]
+    real_scale = (1.0 / (d**0.5)) if scale is None else scale
+    qt, kt, vt, _ = _prep(q, k, v)
+    gt = g.astype(q.dtype).transpose(0, 2, 1, 3)
+    delta = (
+        (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1).transpose(0, 2, 1)
+    ).reshape(-1, 1, q.shape[1])  # (B*H, 1, S_q) f32 — lse's Mosaic-legal layout
+    q_seg = q_seg.astype(jnp.int32)
+    k_seg = k_seg.astype(jnp.int32)
+
+    b, h, s_q, _ = qt.shape
+    hkv, s_k = kt.shape[1], kt.shape[2]
+    n_rep = h // hkv
+    blk_q, blk_k = _pick_block(s_q), _pick_block(s_k)
+    n_qb, n_kb = s_q // blk_q, s_k // blk_k
+
+    lo, hi = _kblock_ranges(q_seg, k_seg, blk_q, blk_k, causal)
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, 1, blk_q), lambda bi, hi_, qi, *r: (bi, 0, qi)),  # q_seg
+            pl.BlockSpec((1, 1, s_k), lambda bi, hi_, qi, *r: (bi, 0, 0)),  # k_seg
+            pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi_, qi, *r: (bi, hi_, qi, 0)),  # q
+            pl.BlockSpec((1, 1, s_k, d), lambda bi, hi_, qi, *r: (bi, hi_ // n_rep, 0, 0)),  # k
+            pl.BlockSpec((1, 1, s_k, d), lambda bi, hi_, qi, *r: (bi, hi_ // n_rep, 0, 0)),  # v
+            pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi_, qi, *r: (bi, hi_, qi, 0)),  # g
+            pl.BlockSpec((1, 1, blk_q), lambda bi, hi_, qi, *r: (bi * h + hi_, 0, qi)),  # lse
+            pl.BlockSpec((1, 1, blk_q), lambda bi, hi_, qi, *r: (bi * h + hi_, 0, qi)),  # delta
+        ],
+        out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi_, qi, *r: (bi, hi_, qi, 0)),
+    )
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, blk_k=blk_k, causal=causal, scale=real_scale),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(lo, hi, q_seg[:, None, :], k_seg[:, None, :], qt, kt, vt, gt, lse, delta)
+
+    # per-k-block q-block ranges: segment intersection transposed, causal
+    # adds the lower bound q_pos >= k_pos
+    qlo, qhi = _kblock_ranges(k_seg, q_seg, blk_k, blk_q, causal=False)
+    if causal:
+        causal_lo = (jnp.arange(n_kb, dtype=jnp.int32) * blk_k) // blk_q
+        qlo = jnp.maximum(qlo, causal_lo[None, :])
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, n_kb, n_rep),
+        in_specs=[
+            pl.BlockSpec((1, 1, s_q), lambda bi, hk, kb, rep, *r: (bi, 0, 0)),  # q_seg
+            pl.BlockSpec((1, 1, blk_k), lambda bi, hk, kb, rep, *r: (bi, 0, kb)),  # k_seg
+            pl.BlockSpec((1, 1, s_q, d), lambda bi, hk, kb, rep, *r: (bi, hk * n_rep + rep, 0, 0)),  # q
+            pl.BlockSpec((1, 1, blk_k, d), lambda bi, hk, kb, rep, *r: (bi, hk, kb, 0)),  # k
+            pl.BlockSpec((1, 1, blk_k, d), lambda bi, hk, kb, rep, *r: (bi, hk, kb, 0)),  # v
+            pl.BlockSpec((1, 1, s_q, d), lambda bi, hk, kb, rep, *r: (bi, hk * n_rep + rep, 0, 0)),  # g
+            pl.BlockSpec((1, 1, s_q), lambda bi, hk, kb, rep, *r: (bi * h + hk * n_rep + rep, 0, 0)),  # lse
+            pl.BlockSpec((1, 1, s_q), lambda bi, hk, kb, rep, *r: (bi * h + hk * n_rep + rep, 0, 0)),  # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_k, d), lambda bi, hk, kb, rep, *r: (bi, hk, kb, 0)),
+            pl.BlockSpec((1, 1, blk_k, d), lambda bi, hk, kb, rep, *r: (bi, hk, kb, 0)),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, blk_q=blk_q, causal=causal, scale=real_scale),
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, s_k, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, s_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+    )(qlo, qhi, q_seg[:, None, :], k_seg[:, None, :], qt, kt, vt, gt, lse, delta)
+
+    return (
+        dq.transpose(0, 2, 1, 3),
+        dk.transpose(0, 2, 1, 3).astype(k.dtype),
+        dv.transpose(0, 2, 1, 3).astype(v.dtype),
         None,
         None,
     )
@@ -658,7 +906,7 @@ def _vis_bwd(scale, rope_dim, res, g):
         dyf = dy.astype(jnp.float32)
         return (dyf * cq - _rot_half_lanes(dyf, rd) * sq).astype(dy.dtype)
 
-    dq_r, dk_r, dv, _, _ = _flash_bwd(
+    dq_r, dk_r, dv, _, _ = _flash_bwd_xla(
         False, real_scale, (rot(q), rot(k), v, seg, seg, None), g
     )
     return unrot(dq_r), unrot(dk_r), dv, jnp.zeros_like(cos), jnp.zeros_like(sin), None

@@ -105,6 +105,39 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.skipif(not ON_TPU, reason="Pallas backward kernels are the TPU path")
+def test_flash_backward_pallas_matches_xla_recompute():
+    """True flash backward (dq + GQA-folding dkv kernels, saved LSE) vs the
+    chunked XLA recompute oracle — GQA + causal + left/right padding, in bf16
+    (the training dtype)."""
+    b, s, h, hkv, d = 2, 256, 8, 2, 128
+    q, k, v = _mk(b, s, h, d, hkv=hkv, dtype=jnp.bfloat16)
+    seg_np = np.zeros((b, s), np.int32)
+    seg_np[0, :37] = -1
+    seg_np[:, -30:] = -1
+    seg = jnp.asarray(seg_np)
+
+    from padt_tpu.ops.pallas_attention import flash_attention
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, seg, seg, True)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def run(mode):
+        os.environ["PADT_FLASH_BWD"] = mode
+        try:
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            os.environ.pop("PADT_FLASH_BWD", None)
+
+    gp = run("pallas")
+    gx = run("xla")
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32), rtol=0.05, atol=0.05
+        )
+
+
 def _mk_rope(b, s, d, seed=5):
     rng = np.random.RandomState(seed)
     hpos = jnp.asarray(np.sort(rng.randint(0, 32, (b, s)), axis=1))
