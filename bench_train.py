@@ -21,7 +21,16 @@ Prints ONE JSON line: {"metric": "train_step_time_s", "value": ..., "unit":
 
 Env: PADT_TRAIN_BATCH (default ladder 8/4/2/1), PADT_TRAIN_OPT
 (adafactor|adamw), PADT_TRAIN_FREEZE (1 default), PADT_TRAIN_SMALL=1 (tiny
-config for CPU smoke), PADT_TRAIN_STEPS (timed steps, default 4).
+config for CPU smoke), PADT_TRAIN_STEPS (timed steps, default 4),
+PADT_TRAIN_ACCUM (micro-steps per optimizer update, default 1 = fused step).
+
+Single-chip batch ladder (measured): fused batch 16 misses HBM by 7.39 MB;
+batch 8 + accum 2 (effective 16) misses by 5.17 GB — the bf16 grad
+accumulator must stay resident across micro-steps next to params + the
+backward workspace, so accumulation can never beat the largest fused batch
+on one chip. Effective batch 16 is a >=2-chip config (grads shard over
+fsdp); the 8-device dryrun covers that program. accum stays useful on
+CPU/multi-chip and mirrors the trainer's make_grad_and_apply_fns path.
 """
 
 import json
@@ -170,26 +179,67 @@ def run(batch_size):
     )
     opt_state = opt.init(params)
     lcfg = LossConfig(freeze_vision=freeze_vision)
-    step = make_train_step(cfg, opt, prompt_length=lp, canvas_hw=canvas_hw, lcfg=lcfg)
-    jstep = jax.jit(step, donate_argnums=(0, 1))
-
+    accum = int(os.environ.get("PADT_TRAIN_ACCUM", "1"))
     warmup = jnp.asarray(False)
-    t_c0 = time.perf_counter()
-    params, opt_state, metrics = jstep(params, opt_state, batch, warmup)
-    loss0 = float(metrics["loss"])  # host readback = the only real sync here
-    t_compile = time.perf_counter() - t_c0
-    assert np.isfinite(loss0), metrics
 
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
+    if accum == 1:
+        step = make_train_step(cfg, opt, prompt_length=lp, canvas_hw=canvas_hw, lcfg=lcfg)
+        jstep = jax.jit(step, donate_argnums=(0, 1))
+
+        t_c0 = time.perf_counter()
         params, opt_state, metrics = jstep(params, opt_state, batch, warmup)
-    loss_n = float(metrics["loss"])
-    t_step = (time.perf_counter() - t0) / n_steps
-    assert np.isfinite(loss_n), loss_n
+        loss0 = float(metrics["loss"])  # host readback = the only real sync here
+        t_compile = time.perf_counter() - t_c0
+        assert np.isfinite(loss0), metrics
+
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            params, opt_state, metrics = jstep(params, opt_state, batch, warmup)
+        loss_n = float(metrics["loss"])
+        t_step = (time.perf_counter() - t0) / n_steps
+        assert np.isfinite(loss_n), loss_n
+    else:
+        from padt_tpu.train.train_step import make_grad_and_apply_fns
+
+        grad_fn, _, apply_fn = make_grad_and_apply_fns(
+            cfg, opt, prompt_length=lp, canvas_hw=canvas_hw, lcfg=lcfg
+        )
+
+        # micro-step: grads += grad(batch); acc donated so the accumulator is
+        # one params-sized bf16 tree updated in place across micros
+        def micro(p, acc, b, w):
+            g, metrics = grad_fn(p, b, w)
+            return jax.tree.map(jnp.add, acc, g), metrics
+
+        jmicro = jax.jit(micro, donate_argnums=(1,))
+        japply = jax.jit(
+            lambda p, s, g: apply_fn(p, s, g, float(accum)), donate_argnums=(0, 1, 2)
+        )
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+
+        def full_step(params, opt_state):
+            acc = zeros()
+            for _ in range(accum):
+                acc, metrics = jmicro(params, acc, batch, warmup)
+            params, opt_state, gnorm = japply(params, opt_state, acc)
+            return params, opt_state, metrics
+
+        t_c0 = time.perf_counter()
+        params, opt_state, metrics = full_step(params, opt_state)
+        loss0 = float(metrics["loss"])
+        t_compile = time.perf_counter() - t_c0
+        assert np.isfinite(loss0), metrics
+
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            params, opt_state, metrics = full_step(params, opt_state)
+        loss_n = float(metrics["loss"])
+        t_step = (time.perf_counter() - t0) / n_steps
+        assert np.isfinite(loss_n), loss_n
 
     l_total = lp + lc
-    tokens_per_step = batch_size * l_total
-    flops = _flops_per_step(cfg, params, batch_size, l_total, lc, cfg.max_image_patches, freeze_vision)
+    tokens_per_step = batch_size * l_total * accum
+    flops = accum * _flops_per_step(cfg, params, batch_size, l_total, lc, cfg.max_image_patches, freeze_vision)
     peak = 197.9e12 if jax.default_backend() == "tpu" else 1e12
     mfu = flops / (t_step * peak)
 
@@ -202,6 +252,8 @@ def run(batch_size):
         "vs_baseline": 1.0,
         "detail": {
             "batch": batch_size,
+            "grad_accum": accum,
+            "effective_batch": batch_size * accum,
             "seq_len": l_total,
             "tokens_per_sec_per_chip": round(tokens_per_step / t_step, 1),
             "model_flops_per_step": flops,
