@@ -23,6 +23,13 @@ def _smoke_selected(argv):
 
 if _smoke_selected(sys.argv):
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # The axon sitecustomize imports jax at interpreter startup (its
+    # register() path), so platform env vars set here are TOO LATE — the
+    # config already latched. jax.config.update still works because
+    # backends initialize lazily on first device use.
+    if "jax" in sys.modules:
+        sys.modules["jax"].config.update("jax_platforms", "cpu")
 
 # harmless on TPU; gives 8 virtual devices if the CPU backend is ever selected
 flags = os.environ.get("XLA_FLAGS", "")
