@@ -230,33 +230,53 @@ def decode_step(
 
 
 def _decode_step_int8(params, cfg: TextConfig, inputs_embeds, position_ids, cache: QuantKVCache):
+    """One int8-KV decode step — the cache is READ-ONLY inside the layer scan.
+
+    Decomposition chosen by measurement (3B/b96/C1280, BASELINE.md round-3
+    decode-path analysis):
+    - per-layer cache slices through scan xs/ys: XLA restacks the full cache
+      every step (29.2 ms/step);
+    - stacked cache in the scan CARRY with in-place row DUS: XLA still
+      materializes a full cache copy per step because a Pallas read consumes
+      the updated carry (22.6 ms/step, +4.6 GB HBM);
+    - HERE: the layer-indexed kernel reads the PRE-update stack (loop
+      invariant -> no carry, no copies) and composites the current token's
+      K/V in-kernel (`fresh_kv=`); each layer's new row leaves the scan as
+      stacked ys and ONE all-layer dynamic_update_slice writes column `pos`
+      after the scan (17.2 ms/step)."""
     from ..ops.kv_cache import decode_attention_int8, quantize_kv
 
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
     pos = cache.length
-    new_valid = cache.valid.at[:, pos].set(True)
+    old_valid = cache.valid  # excludes pos: the kernel adds the fresh column
+    k8a, ksa, v8a, vsa = cache.k, cache.k_scale, cache.v, cache.v_scale
+    nl = len(jax.tree.leaves(params["layers"])[0])
 
     def body(x, layer):
-        lp, k8, ks, v8, vs = layer
+        lp, li = layer
         xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
         q, k, v = _qkv(xn, lp, cfg, cos, sin)
-        # quantize the new token's K/V and splice at slot `pos`
-        k8_new, ks_new = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, 1, hd)
-        v8_new, vs_new = quantize_kv(v.transpose(0, 2, 1, 3))
-        k8 = jax.lax.dynamic_update_slice_in_dim(k8, k8_new, pos, axis=2)
-        ks = jax.lax.dynamic_update_slice_in_dim(ks, ks_new, pos, axis=2)
-        v8 = jax.lax.dynamic_update_slice_in_dim(v8, v8_new, pos, axis=2)
-        vs = jax.lax.dynamic_update_slice_in_dim(vs, vs_new, pos, axis=2)
-        attn = decode_attention_int8(q, k8, ks, v8, vs, new_valid)
+        k8n, ksn = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, 1, hd)
+        v8n, vsn = quantize_kv(v.transpose(0, 2, 1, 3))
+        attn = decode_attention_int8(
+            q, k8a, ksa, v8a, vsa, old_valid, layer=li,
+            fresh_kv=(k8n, ksn, v8n, vsn),
+        )
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
         x = x + _mlp(xn, lp)
-        return x, (k8, ks, v8, vs)
+        return x, (k8n, ksn, v8n, vsn)
 
-    x, (k8, ks, v8, vs) = jax.lax.scan(
-        body, inputs_embeds, (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale)
+    x, (k8r, ksr, v8r, vsr) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], jnp.arange(nl, dtype=jnp.int32))
     )
+    zero = jnp.zeros((), jnp.int32)
+    k8 = jax.lax.dynamic_update_slice(k8a, k8r, (zero, zero, zero, pos, zero))
+    ks = jax.lax.dynamic_update_slice(ksa, ksr, (zero, zero, zero, pos))
+    v8 = jax.lax.dynamic_update_slice(v8a, v8r, (zero, zero, zero, pos, zero))
+    vs = jax.lax.dynamic_update_slice(vsa, vsr, (zero, zero, zero, pos))
     hidden = rms_norm(x, params["final_ln_w"], cfg.rms_norm_eps)
     return hidden, QuantKVCache(
-        k=k8, k_scale=ks, v=v8, v_scale=vs, valid=new_valid, length=pos + 1
+        k=k8, k_scale=ks, v=v8, v_scale=vs,
+        valid=cache.valid.at[:, pos].set(True), length=pos + 1,
     )

@@ -113,6 +113,158 @@ def _decode_attention_int8_pallas(q, k8, ks, v8, vs, valid):
     )(q, k8, ks4, v8, vs4, valid3)
 
 
+def _decode_kernel_stacked(
+    li_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, valid_ref, o_ref, *, sm_scale
+):
+    """`_decode_kernel` addressing ONE layer of the stacked (layers, B, Hkv,
+    C, hd) cache via a scalar-prefetch layer index: the caller's per-layer
+    scan can then keep the whole cache in its carry (updated in place by a
+    one-row XLA dynamic_update_slice) instead of threading per-layer slices
+    through scan xs/ys — which XLA restacks with full-cache copies every
+    decode step (~2x the decode step's HBM traffic at 3B/b96/C1280; see
+    BASELINE.md round-3 decode-path analysis)."""
+    q = q_ref[0, 0]  # (G, hd) bf16
+    k = k8_ref[0, 0, 0].astype(jnp.bfloat16)  # (C, hd)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (G, C)
+    scores = scores * (ks_ref[0, 0, 0] * sm_scale)  # (1, C) broadcast
+    scores = jnp.where(valid_ref[0] > 0, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * vs_ref[0, 0, 0]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        pv, v8_ref[0, 0, 0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
+    )  # (G, hd)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _decode_kernel_stacked_fresh(
+    li_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
+    valid_ref, o_ref, *, sm_scale,
+):
+    """`_decode_kernel_stacked` reading the PRE-update cache, with the current
+    token's K/V passed separately and composited into the softmax in-kernel
+    (an extra virtual column). Lets the caller's cache row-write be a pure
+    in-place dynamic_update_slice whose value the kernel never consumes —
+    XLA copies the full cache when a Pallas read depends on the updated
+    buffer inside a scan carry (measured +7.5 ms/step at 3B/b96/C1280)."""
+    q = q_ref[0, 0]  # (G, hd) bf16
+    k = k8_ref[0, 0, 0].astype(jnp.bfloat16)  # (C, hd) stale
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (G, C)
+    scores = scores * (ks_ref[0, 0, 0] * sm_scale)
+    scores = jnp.where(valid_ref[0] > 0, scores, NEG_INF)  # valid EXCLUDES pos
+    # fresh column: the token being decoded attends to itself. A (G,hd)x(1,hd)
+    # dot_general trips a Mosaic bf16->f32 broadcast verification bug; an
+    # elementwise VPU reduction over hd is tiny (G x hd) and exact in f32.
+    kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
+    s_f = jnp.sum(q.astype(jnp.float32) * kn, axis=-1, keepdims=True) * (
+        ksn_ref[0, 0] * sm_scale
+    )  # (G, 1)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_f)
+    p = jnp.exp(scores - m)  # (G, C)
+    p_f = jnp.exp(s_f - m)  # (G, 1)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + p_f
+    pv = (p / denom * vs_ref[0, 0, 0]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        pv, v8_ref[0, 0, 0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
+    )  # (G, hd)
+    vn = vn_ref[0, 0].astype(jnp.float32) * vsn_ref[0, 0]  # (1, hd)
+    out = out + (p_f / denom) * vn
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _decode_attention_int8_pallas_stacked_fresh(
+    q, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid, layer
+):
+    """q: (B, Hkv, G, hd); k8/v8: (L, B, Hkv, C, hd) PRE-update stacks;
+    k8n/v8n: (B, Hkv, 1, hd) current-token rows; ksn/vsn: (B, Hkv, 1);
+    valid: (B, C) WITHOUT the current position."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hkv, g, hd = q.shape
+    nl, _, _, c, _ = k8.shape
+    ks5 = ks.reshape(nl, b, hkv, 1, c)
+    vs5 = vs.reshape(nl, b, hkv, 1, c)
+    valid3 = valid.reshape(b, 1, c)
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    kern = functools.partial(_decode_kernel_stacked_fresh, sm_scale=1.0 / (hd**0.5))
+    at_layer = lambda i, j, li_r: (li_r[0], i, j, 0, 0)
+    at_bh = lambda i, j, li_r: (i, j, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), at_bh),
+            pl.BlockSpec((1, 1, 1, c, hd), at_layer),
+            pl.BlockSpec((1, 1, 1, 1, c), at_layer),
+            pl.BlockSpec((1, 1, 1, c, hd), at_layer),
+            pl.BlockSpec((1, 1, 1, 1, c), at_layer),
+            pl.BlockSpec((1, 1, 1, hd), at_bh),
+            pl.BlockSpec((1, 1, 1, 1), at_bh),
+            pl.BlockSpec((1, 1, 1, hd), at_bh),
+            pl.BlockSpec((1, 1, 1, 1), at_bh),
+            pl.BlockSpec((1, 1, c), lambda i, j, li_r: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), at_bh),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(li, q, k8, ks5, v8, vs5, k8n, ksn.reshape(b, hkv, 1, 1), v8n,
+      vsn.reshape(b, hkv, 1, 1), valid3)
+
+
+def _decode_attention_int8_pallas_stacked(q, k8, ks, v8, vs, valid, layer):
+    """q: (B, Hkv, G, hd); k8/v8: (LAYERS, B, Hkv, C, hd) int8 full stacks;
+    ks/vs: (LAYERS, B, Hkv, C) f32; layer: () int32. Only layer `layer`'s
+    blocks are DMA'd — no slice materialization."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hkv, g, hd = q.shape
+    nl, _, _, c, _ = k8.shape
+    ks5 = ks.reshape(nl, b, hkv, 1, c)
+    vs5 = vs.reshape(nl, b, hkv, 1, c)
+    valid3 = valid.reshape(b, 1, c)
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    kern = functools.partial(_decode_kernel_stacked, sm_scale=1.0 / (hd**0.5))
+    at_layer = lambda i, j, li_r: (li_r[0], i, j, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda i, j, li_r: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, c, hd), at_layer),
+            pl.BlockSpec((1, 1, 1, 1, c), at_layer),
+            pl.BlockSpec((1, 1, 1, c, hd), at_layer),
+            pl.BlockSpec((1, 1, 1, 1, c), at_layer),
+            pl.BlockSpec((1, 1, c), lambda i, j, li_r: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, li_r: (i, j, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(li, q, k8, ks5, v8, vs5, valid3)
+
+
 _KV_TILE = 256  # k-tile rows for the length-aware decode kernel
 
 
@@ -254,9 +406,76 @@ def _store_rows_kernel(
     put(vso_ref, vs_ref, vsn_ref)
 
 
+def _store_rows_kernel_stacked(
+    pos_ref, li_ref, k8_ref, ks_ref, v8_ref, vs_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref,
+    k8o_ref, kso_ref, v8o_ref, vso_ref,
+):
+    """`_store_rows_kernel` over the stacked (layers, ...) cache: blocks are
+    rank 5 with the layer picked by the scalar-prefetch index map."""
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(0)
+    r = pos_ref[bi] % _STORE_ROWS
+
+    def put(o_ref, cur_ref, new_ref):
+        cur = cur_ref[0, 0, 0]  # (R, d)
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0) == r
+        o_ref[0, 0, 0] = jnp.where(rowmask, new_ref[0, 0], cur)
+
+    put(k8o_ref, k8_ref, k8n_ref)
+    put(kso_ref, ks_ref, ksn_ref)
+    put(v8o_ref, v8_ref, v8n_ref)
+    put(vso_ref, vs_ref, vsn_ref)
+
+
+def _store_kv_rows_stacked(k8, ks, v8, vs, k8n, ksn4, v8n, vsn4, pos, layer):
+    """In-place per-sample row store into layer `layer` of the stacked cache.
+    k8/v8: (L, B, Hkv, C, hd); ks/vs passed 5D (L, B, Hkv, C, 1)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nl, b, hkv, c, hd = k8.shape
+    R = _STORE_ROWS
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    tile = lambda bi, hi, pos_r, li_r: (li_r[0], bi, hi, pos_r[bi] // R, 0)
+    row = lambda bi, hi, pos_r, li_r: (bi, hi, 0, 0)
+    spec_c8 = pl.BlockSpec((1, 1, 1, R, hd), tile)
+    spec_cs = pl.BlockSpec((1, 1, 1, R, 1), tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv),
+        in_specs=[
+            spec_c8,
+            spec_cs,
+            spec_c8,
+            spec_cs,
+            pl.BlockSpec((1, 1, 1, hd), row),
+            pl.BlockSpec((1, 1, 1, 1), row),
+            pl.BlockSpec((1, 1, 1, hd), row),
+            pl.BlockSpec((1, 1, 1, 1), row),
+        ],
+        out_specs=[spec_c8, spec_cs, spec_c8, spec_cs],
+    )
+    return pl.pallas_call(
+        _store_rows_kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct((nl, b, hkv, c, 1), ks.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct((nl, b, hkv, c, 1), vs.dtype),
+        ],
+        # flat input indices INCLUDE the two scalar-prefetch args (pos=0, li=1)
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(pos, li, k8, ks, v8, vs, k8n, ksn4, v8n, vsn4)
+
+
 def store_kv_rows(
-    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8
-    ks: jnp.ndarray,  # (B, Hkv, C) f32
+    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8; (L, B, Hkv, C, hd) with layer=
+    ks: jnp.ndarray,  # (B, Hkv, C) f32;     (L, B, Hkv, C) with layer=
     v8: jnp.ndarray,
     vs: jnp.ndarray,
     k8n: jnp.ndarray,  # (B, Hkv, 1, hd) int8 — new token rows
@@ -264,9 +483,37 @@ def store_kv_rows(
     v8n: jnp.ndarray,
     vsn: jnp.ndarray,
     pos: jnp.ndarray,  # (B,) int32 — per-sample cache position
+    layer=None,  # () int32 — if given, k8/ks/v8/vs are FULL layer stacks and
+    #              the rows are stored into layer `layer` in place
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write each sample's new KV row at its own position, in place."""
     from .attention import use_pallas
+
+    if layer is not None:
+        nl, b, hkv, c, hd = k8.shape
+        if use_pallas():
+            k8o, ks5o, v8o, vs5o = _store_kv_rows_stacked(
+                k8, ks.reshape(nl, b, hkv, c, 1), v8, vs.reshape(nl, b, hkv, c, 1),
+                k8n, ksn.reshape(b, hkv, 1, 1), v8n, vsn.reshape(b, hkv, 1, 1),
+                pos, layer,
+            )
+            return k8o, ks5o.reshape(nl, b, hkv, c), v8o, vs5o.reshape(nl, b, hkv, c)
+        li = jnp.asarray(layer, jnp.int32)
+        # one-row-per-sample scatter into layer li (CPU/test fallback)
+        upd = jax.vmap(
+            lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0)), (0, 0, 0), 0
+        )
+        upd_s = jax.vmap(
+            lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p)), (0, 0, 0), 0
+        )
+        pick = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+        put = lambda a, upd_l: jax.lax.dynamic_update_index_in_dim(a, upd_l, li, 0)
+        return (
+            put(k8, upd(pick(k8), k8n, pos)),
+            put(ks, upd_s(pick(ks), ksn, pos)),
+            put(v8, upd(pick(v8), v8n, pos)),
+            put(vs, upd_s(pick(vs), vsn, pos)),
+        )
 
     b, hkv, c, hd = k8.shape
     if not use_pallas():
@@ -356,8 +603,8 @@ def _store_rows_k_kernel(
 
 
 def store_kv_rows_k(
-    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8
-    ks: jnp.ndarray,  # (B, Hkv, C) f32
+    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8; (L, B, Hkv, C, hd) with layer=
+    ks: jnp.ndarray,  # (B, Hkv, C) f32;     (L, B, Hkv, C) with layer=
     v8: jnp.ndarray,
     vs: jnp.ndarray,
     k8n: jnp.ndarray,  # (B, Hkv, K, hd) int8 — K consecutive new rows
@@ -365,10 +612,30 @@ def store_kv_rows_k(
     v8n: jnp.ndarray,
     vsn: jnp.ndarray,
     pos: jnp.ndarray,  # (B,) int32 — first row position per sample
+    layer=None,  # () int32 — rows go into layer `layer` of the full stack
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """`store_kv_rows` for K<=32 consecutive rows per sample (speculative
     verify step). Two aliased kernel passes cover the straddled tile pair."""
     from .attention import use_pallas
+
+    if layer is not None:
+        li = jnp.asarray(layer, jnp.int32)
+        if not use_pallas():
+            upd = jax.vmap(
+                lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0)), (0, 0, 0), 0
+            )
+            upd_s = jax.vmap(
+                lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p)), (0, 0, 0), 0
+            )
+            pick = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+            put = lambda a, u: jax.lax.dynamic_update_index_in_dim(a, u, li, 0)
+            return (
+                put(k8, upd(pick(k8), k8n, pos)),
+                put(ks, upd_s(pick(ks), ksn, pos)),
+                put(v8, upd(pick(v8), v8n, pos)),
+                put(vs, upd_s(pick(vs), vsn, pos)),
+            )
+        return _store_kv_rows_k_stacked(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos, li)
 
     b, hkv, c, hd = k8.shape
     kq = k8n.shape[2]
@@ -433,6 +700,90 @@ def store_kv_rows_k(
     return k8, ks4.reshape(b, hkv, c), v8, vs4.reshape(b, hkv, c)
 
 
+def _store_rows_k_kernel_stacked(
+    pos_ref, li_ref, k8_ref, ks_ref, v8_ref, vs_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref,
+    k8o_ref, kso_ref, v8o_ref, vso_ref, *, offset: int, kq: int,
+):
+    """`_store_rows_k_kernel` over the stacked (layers, ...) cache."""
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(0)
+    r = pos_ref[bi] % _STORE_ROWS - offset * _STORE_ROWS
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_STORE_ROWS, kq), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_STORE_ROWS, kq), 1)
+    sel = (ii == r + jj).astype(jnp.float32)
+    rowmask = (jnp.sum(sel, axis=1, keepdims=True) > 0)
+
+    def put(o_ref, cur_ref, new_ref):
+        cur = cur_ref[0, 0, 0]
+        new = new_ref[0, 0].astype(jnp.float32)
+        shifted = jax.lax.dot_general(
+            sel, new, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        o_ref[0, 0, 0] = jnp.where(rowmask, shifted.astype(cur.dtype), cur)
+
+    put(k8o_ref, k8_ref, k8n_ref)
+    put(kso_ref, ks_ref, ksn_ref)
+    put(v8o_ref, v8_ref, v8n_ref)
+    put(vso_ref, vs_ref, vsn_ref)
+
+
+def _store_kv_rows_k_stacked(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos, li):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nl, b, hkv, c, hd = k8.shape
+    kq = k8n.shape[2]
+    assert kq <= _STORE_ROWS
+    R = _STORE_ROWS
+    n_tiles = c // R
+    ks5 = ks.reshape(nl, b, hkv, c, 1)
+    vs5 = vs.reshape(nl, b, hkv, c, 1)
+    ksn4 = ksn.reshape(b, hkv, kq, 1)
+    vsn4 = vsn.reshape(b, hkv, kq, 1)
+    li1 = li.reshape(1)
+
+    for offset in (0, 1):
+        tile = (
+            (lambda bi, hi, pos_r, li_r: (li_r[0], bi, hi, pos_r[bi] // R, 0))
+            if offset == 0
+            else (lambda bi, hi, pos_r, li_r: (li_r[0], bi, hi, jnp.minimum(pos_r[bi] // R + 1, n_tiles - 1), 0))
+        )
+        row = lambda bi, hi, pos_r, li_r: (bi, hi, 0, 0)
+        spec_c8 = pl.BlockSpec((1, 1, 1, R, hd), tile)
+        spec_cs = pl.BlockSpec((1, 1, 1, R, 1), tile)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv),
+            in_specs=[
+                spec_c8, spec_cs, spec_c8, spec_cs,
+                pl.BlockSpec((1, 1, kq, hd), row),
+                pl.BlockSpec((1, 1, kq, 1), row),
+                pl.BlockSpec((1, 1, kq, hd), row),
+                pl.BlockSpec((1, 1, kq, 1), row),
+            ],
+            out_specs=[spec_c8, spec_cs, spec_c8, spec_cs],
+        )
+        pos_eff = pos if offset == 0 else jnp.where(pos // R + 1 <= n_tiles - 1, pos, 0)
+        k8, ks5, v8, vs5 = pl.pallas_call(
+            functools.partial(_store_rows_k_kernel_stacked, offset=offset, kq=kq),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+                jax.ShapeDtypeStruct(ks5.shape, ks5.dtype),
+                jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+                jax.ShapeDtypeStruct(vs5.shape, vs5.dtype),
+            ],
+            # flat input indices INCLUDE the two scalar-prefetch args
+            input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(pos_eff, li1, k8, ks5, v8, vs5, k8n, ksn4, v8n, vsn4)
+    return k8, ks5.reshape(nl, b, hkv, c), v8, vs5.reshape(nl, b, hkv, c)
+
+
 def _decode_kernel_multi(
     wp_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, valid_ref, o_ref,
     *, sm_scale: float, kq: int,
@@ -469,14 +820,49 @@ def _decode_kernel_multi(
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _decode_kernel_multi_stacked(
+    wp_ref, li_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, valid_ref, o_ref,
+    *, sm_scale: float, kq: int,
+):
+    """`_decode_kernel_multi` over the stacked (layers, ...) cache."""
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(0)
+    wp = wp_ref[bi]
+    q = q_ref[0, 0]  # (G*kq, hd) bf16
+    gk, _ = q.shape
+    c = k8_ref.shape[3]
+    k = k8_ref[0, 0, 0].astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    scores = scores * (ks_ref[0, 0, 0] * sm_scale)
+    pos_c = jax.lax.broadcasted_iota(jnp.int32, (gk, c), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (gk, c), 0) % kq
+    mask = (valid_ref[0] > 0) & (pos_c <= wp + row_i)
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * vs_ref[0, 0, 0]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        pv, v8_ref[0, 0, 0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
 def decode_attention_int8_multi(
     q: jnp.ndarray,  # (B, K, H, hd) — K speculative-step queries
-    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8 (new K rows already stored)
+    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8 (new K rows already stored);
+    #                   (LAYERS, B, Hkv, C, hd) with layer=
     ks: jnp.ndarray,
     v8: jnp.ndarray,
     vs: jnp.ndarray,
     valid: jnp.ndarray,  # (B, C) bool — INCLUDING the K new positions
     write_pos: jnp.ndarray,  # (B,) int32 — first new position
+    layer=None,  # () int32 — read layer `layer` of the full stack
 ) -> jnp.ndarray:
     """Grouped K-token attention over the int8 cache -> (B, K, H, hd).
     Query i attends valid positions <= write_pos + i (causal over the new
@@ -485,10 +871,47 @@ def decode_attention_int8_multi(
     from .attention import use_pallas
 
     b, kq, h, hd = q.shape
-    hkv = k8.shape[1]
+    hkv = k8.shape[1] if layer is None else k8.shape[2]
     g = h // hkv
     # row r = gi*kq + i (head-major): q (B,K,H,hd) -> (B,Hkv,G,K,hd) -> flat
     qg = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, kq, hd).reshape(b, hkv, g * kq, hd)
+    if layer is not None and use_pallas():
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nl, _, _, c, _ = k8.shape
+        ks5 = ks.reshape(nl, b, hkv, 1, c)
+        vs5 = vs.reshape(nl, b, hkv, 1, c)
+        valid3 = valid.astype(jnp.int32).reshape(b, 1, c)
+        li = jnp.asarray(layer, jnp.int32).reshape(1)
+        kern = functools.partial(_decode_kernel_multi_stacked, sm_scale=1.0 / (hd**0.5), kq=kq)
+        at_layer = lambda i, j, wp_r, li_r: (li_r[0], i, j, 0, 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, g * kq, hd), lambda i, j, *r: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, c, hd), at_layer),
+                pl.BlockSpec((1, 1, 1, 1, c), at_layer),
+                pl.BlockSpec((1, 1, 1, c, hd), at_layer),
+                pl.BlockSpec((1, 1, 1, 1, c), at_layer),
+                pl.BlockSpec((1, 1, c), lambda i, j, *r: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g * kq, hd), lambda i, j, *r: (i, j, 0, 0)),
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hkv, g * kq, hd), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(write_pos.astype(jnp.int32), li, qg, k8, ks5, v8, vs5, valid3)
+        return out.reshape(b, hkv, g, kq, hd).transpose(0, 3, 1, 2, 4).reshape(b, kq, h, hd)
+    if layer is not None:
+        li = jnp.asarray(layer, jnp.int32)
+        pick = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+        k8, ks, v8, vs = pick(k8), pick(ks), pick(v8), pick(vs)
     if use_pallas():
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -542,21 +965,77 @@ def decode_attention_int8_multi(
 
 def decode_attention_int8(
     q: jnp.ndarray,  # (B, 1, H, hd) — current step query
-    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8
-    ks: jnp.ndarray,  # (B, Hkv, C) f32
+    k8: jnp.ndarray,  # (B, Hkv, C, hd) int8; (LAYERS, B, Hkv, C, hd) w/ layer=
+    ks: jnp.ndarray,  # (B, Hkv, C) f32;     (LAYERS, B, Hkv, C) w/ layer=
     v8: jnp.ndarray,
     vs: jnp.ndarray,
     valid: jnp.ndarray,  # (B, C) bool
     n_valid=None,  # (B,) or () int32 — live length per sample; positions
     #               beyond it are skipped WITHOUT reading them from HBM
+    layer=None,  # () int32 — if given, k8/ks/v8/vs are FULL layer stacks and
+    #              only `layer`'s blocks are read (kernel-side indexing; lets
+    #              the caller keep the stacked cache in a scan carry with
+    #              in-place row updates instead of xs/ys restacking)
+    fresh_kv=None,  # (k8n, ksn, v8n, vsn) with k8n/v8n (B, Hkv, 1, hd) and
+    #              ksn/vsn (B, Hkv, 1): the CURRENT token's K/V, composited
+    #              in-kernel. The cache args must then be PRE-update and
+    #              `valid` must EXCLUDE the current position — the caller's
+    #              row write stays a pure in-place update the kernel never
+    #              reads (a kernel read of the updated carry makes XLA copy
+    #              the full cache: +7.5 ms/step at 3B/b96/C1280). Requires
+    #              layer=.
 ) -> jnp.ndarray:
     """Single-step grouped-query attention over the int8 cache -> (B, 1, H, hd)."""
     from .attention import use_pallas
 
     b, _, h, hd = q.shape
-    hkv = k8.shape[1]
+    hkv = k8.shape[1] if layer is None else k8.shape[2]
     qg = q.reshape(b, hkv, h // hkv, hd)  # kv head j serves q heads [jG, (j+1)G)
     valid_i = valid.astype(jnp.int32)
+    if fresh_kv is not None:
+        assert layer is not None
+        k8n, ksn, v8n, vsn = fresh_kv
+        if use_pallas():
+            out = _decode_attention_int8_pallas_stacked_fresh(
+                qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid_i, layer
+            )
+        else:
+            li = jnp.asarray(layer, jnp.int32)
+            pick = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+            k8l, ksl, v8l, vsl = pick(k8), pick(ks), pick(v8), pick(vs)
+            scale = 1.0 / (hd**0.5)
+            scores = jnp.einsum(
+                "bkgd,bkcd->bkgc", qg.astype(jnp.bfloat16), k8l.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * (ksl * scale)[:, :, None, :]
+            scores = jnp.where(valid.astype(bool)[:, None, None, :], scores, NEG_INF)
+            s_f = jnp.einsum(
+                "bkgd,bkrd->bkgr", qg.astype(jnp.bfloat16), k8n.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * (ksn * scale)[:, :, None, :]  # (B, Hkv, G, 1)
+            m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_f)
+            p = jnp.exp(scores - m)
+            p_f = jnp.exp(s_f - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_f
+            pv = (p / denom * vsl[:, :, None, :]).astype(jnp.bfloat16)
+            out = jnp.einsum(
+                "bkgc,bkcd->bkgd", pv, v8l.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            out = out + (p_f / denom) * (
+                v8n.astype(jnp.float32) * vsn[:, :, None]
+            )
+        return out.reshape(b, 1, h, hd).astype(q.dtype)
+    if layer is not None:
+        if use_pallas():
+            out = _decode_attention_int8_pallas_stacked(qg, k8, ks, v8, vs, valid_i, layer)
+        else:
+            li = jnp.asarray(layer, jnp.int32)
+            pick = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+            out = _decode_attention_int8_xla(
+                qg, pick(k8), pick(ks), pick(v8), pick(vs), valid.astype(bool)
+            )
+        return out.reshape(b, 1, h, hd)
     if use_pallas():
         if n_valid is not None:
             nv = jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32), (b,))

@@ -219,25 +219,33 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
     cur = state.valid[rows, store_pos]
     new_valid = state.valid.at[rows, store_pos].set(cur | state.active)
 
-    def body(x, layer):
-        lp, k8, ks, v8, vs = layer
+    nl = len(jax.tree.leaves(params["layers"])[0])
+
+    def body(carry, layer):
+        # stacked cache in the CARRY + layer-indexed kernels: threading
+        # per-layer slices through scan xs/ys makes XLA restack the full cache
+        # every step (~6 ms at 3B/b96/C1280 — BASELINE.md round-3 decode path)
+        x, k8a, ksa, v8a, vsa = carry
+        lp, li = layer
         xn = rms_norm(x, lp["input_ln_w"], tcfg.rms_norm_eps)
         q, k, v = language._qkv(xn, lp, tcfg, cos, sin)
         k8n, ksn = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, 1, hd)
         v8n, vsn = quantize_kv(v.transpose(0, 2, 1, 3))
         # in-place aliased row store (a vmapped dynamic_update_slice lowers to
         # an XLA scatter: measured +20 ms/step at 3B/64 slots)
-        k8, ks, v8, vs = store_kv_rows(
-            k8, ks, v8, vs, k8n, ksn, v8n, vsn, store_pos
+        k8a, ksa, v8a, vsa = store_kv_rows(
+            k8a, ksa, v8a, vsa, k8n, ksn, v8n, vsn, store_pos, layer=li
         )
-        attn = decode_attention_int8(q, k8, ks, v8, vs, new_valid)
+        attn = decode_attention_int8(q, k8a, ksa, v8a, vsa, new_valid, layer=li)
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], tcfg.rms_norm_eps)
         x = x + language._mlp(xn, lp)
-        return x, (k8, ks, v8, vs)
+        return (x, k8a, ksa, v8a, vsa), None
 
-    x, (k8, ks, v8, vs) = jax.lax.scan(
-        body, inputs_embeds, (params["layers"], state.k8, state.ks, state.v8, state.vs)
+    (x, k8, ks, v8, vs), _ = jax.lax.scan(
+        body,
+        (inputs_embeds, state.k8, state.ks, state.v8, state.vs),
+        (params["layers"], jnp.arange(nl, dtype=jnp.int32)),
     )
     hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
@@ -262,23 +270,30 @@ def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_po
     )
     new_valid = state.valid | (newly & state.active[:, None])
 
-    def body(x, layer):
-        lp, k8, ks, v8, vs = layer
+    nl = len(jax.tree.leaves(params["layers"])[0])
+
+    def body(carry, layer):
+        x, k8a, ksa, v8a, vsa = carry
+        lp, li = layer
         xn = rms_norm(x, lp["input_ln_w"], tcfg.rms_norm_eps)
         q, k, v = language._qkv(xn, lp, tcfg, cos, sin)
         k8n, ksn = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, K, hd)
         v8n, vsn = quantize_kv(v.transpose(0, 2, 1, 3))
-        k8, ks, v8, vs = store_kv_rows_k(
-            k8, ks, v8, vs, k8n, ksn, v8n, vsn, store_pos
+        k8a, ksa, v8a, vsa = store_kv_rows_k(
+            k8a, ksa, v8a, vsa, k8n, ksn, v8n, vsn, store_pos, layer=li
         )
-        attn = decode_attention_int8_multi(q, k8, ks, v8, vs, new_valid, store_pos)
+        attn = decode_attention_int8_multi(
+            q, k8a, ksa, v8a, vsa, new_valid, store_pos, layer=li
+        )
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], tcfg.rms_norm_eps)
         x = x + language._mlp(xn, lp)
-        return x, (k8, ks, v8, vs)
+        return (x, k8a, ksa, v8a, vsa), None
 
-    x, (k8, ks, v8, vs) = jax.lax.scan(
-        body, inputs_embeds, (params["layers"], state.k8, state.ks, state.v8, state.vs)
+    (x, k8, ks, v8, vs), _ = jax.lax.scan(
+        body,
+        (inputs_embeds, state.k8, state.ks, state.v8, state.vs),
+        (params["layers"], jnp.arange(nl, dtype=jnp.int32)),
     )
     hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)

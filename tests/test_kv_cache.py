@@ -323,6 +323,196 @@ def test_decode_attention_int8_multi_matches_oracle():
         )
 
 
+def _stacked_int8_inputs(nl=3, b=2, hkv=2, g=8, hd=128, c=256, seed=7):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, 1, hkv * g, hd) * 0.3, jnp.bfloat16)
+    k8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.5, (nl, b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.5, (nl, b, hkv, c)), jnp.float32)
+    valid = np.ones((b, c), bool)
+    valid[0, :11] = False
+    valid[:, c // 2 :] = False
+    return q, k8, ks, v8, vs, jnp.asarray(valid)
+
+
+@pytest.mark.smoke
+def test_stacked_decode_attention_matches_sliced():
+    """Layer-indexed decode attention over the full (L, ...) cache stack must
+    equal the plain kernel on the manually sliced layer, for every layer
+    (scalar-prefetch index maps DMA only that layer's blocks)."""
+    import contextlib
+
+    q, k8, ks, v8, vs, valid = _stacked_int8_inputs()
+    for li in range(k8.shape[0]):
+        ref = KV._decode_attention_int8_xla(
+            q.reshape(q.shape[0], k8.shape[2], -1, q.shape[-1]),
+            k8[li], ks[li], v8[li], vs[li], valid,
+        ).reshape(q.shape)
+        os.environ["PADT_PALLAS"] = "1"
+        try:
+            ctx = contextlib.nullcontext() if ON_TPU else _interp()
+            with ctx:
+                out = KV.decode_attention_int8(
+                    q, k8, ks, v8, vs, valid, layer=jnp.int32(li)
+                )
+        finally:
+            os.environ["PADT_PALLAS"] = "auto"
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2, err_msg=f"layer {li}",
+        )
+
+
+@pytest.mark.smoke
+def test_stacked_fresh_decode_attention_matches_store_then_attend():
+    """The read-only-cache decode path (`fresh_kv=`): compositing the current
+    token's K/V in-kernel over the PRE-update stack must equal storing the row
+    first and attending over the updated cache (the carry-free decomposition
+    `models/language.py::_decode_step_int8` relies on)."""
+    import contextlib
+
+    q, k8, ks, v8, vs, valid = _stacked_int8_inputs()
+    nl, b, hkv, c, hd = k8.shape
+    rng = np.random.RandomState(11)
+    k8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    v8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    ksn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    vsn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    pos = c // 2  # first unwritten slot (valid excludes it)
+    for li in (0, nl - 1):
+        # oracle: write the row into layer li, then plain sliced attention
+        k8_u = np.asarray(k8).copy(); k8_u[li, :, :, pos] = np.asarray(k8n)[:, :, 0]
+        v8_u = np.asarray(v8).copy(); v8_u[li, :, :, pos] = np.asarray(v8n)[:, :, 0]
+        ks_u = np.asarray(ks).copy(); ks_u[li, :, :, pos] = np.asarray(ksn)[:, :, 0]
+        vs_u = np.asarray(vs).copy(); vs_u[li, :, :, pos] = np.asarray(vsn)[:, :, 0]
+        valid_u = np.asarray(valid).copy(); valid_u[:, pos] = True
+        ref = KV._decode_attention_int8_xla(
+            q.reshape(b, hkv, -1, hd),
+            jnp.asarray(k8_u[li]), jnp.asarray(ks_u[li]),
+            jnp.asarray(v8_u[li]), jnp.asarray(vs_u[li]), jnp.asarray(valid_u),
+        ).reshape(q.shape)
+        for pallas in ("0", "1"):
+            os.environ["PADT_PALLAS"] = pallas
+            try:
+                ctx = contextlib.nullcontext() if (ON_TPU or pallas == "0") else _interp()
+                with ctx:
+                    out = KV.decode_attention_int8(
+                        q, k8, ks, v8, vs, valid, layer=jnp.int32(li),
+                        fresh_kv=(k8n, ksn, v8n, vsn),
+                    )
+            finally:
+                os.environ["PADT_PALLAS"] = "auto"
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                atol=2e-2, rtol=2e-2, err_msg=f"layer {li} pallas={pallas}",
+            )
+
+
+@pytest.mark.smoke
+def test_stacked_store_kv_rows_matches_sliced():
+    """`store_kv_rows(..., layer=)` over the (L, ...) stack: rows land at each
+    sample's own position inside layer `layer` ONLY; other layers untouched."""
+    import contextlib
+
+    rng = np.random.RandomState(13)
+    nl, b, hkv, c, hd = 3, 4, 2, 256, 128
+    k8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.5, (nl, b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.5, (nl, b, hkv, c)), jnp.float32)
+    k8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    v8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    ksn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    vsn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    pos = jnp.asarray([3, 97, 160, 255], jnp.int32)
+    li = 1
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = KV.store_kv_rows(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos, layer=jnp.int32(li))
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out = KV.store_kv_rows(k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos, layer=jnp.int32(li))
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    for o, r in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+    # sanity on the oracle itself: untouched layers identical to the input
+    np.testing.assert_array_equal(np.asarray(ref[0][0]), np.asarray(k8[0]))
+    np.testing.assert_array_equal(np.asarray(ref[0][2]), np.asarray(k8[2]))
+    assert (np.asarray(ref[0][li]) != np.asarray(k8[li])).any()
+
+
+@pytest.mark.smoke
+def test_stacked_multi_and_k_store_match_sliced():
+    """Speculative-verify stacked paths: `store_kv_rows_k(..., layer=)` and
+    `decode_attention_int8_multi(..., layer=)` vs the sliced-layer oracles."""
+    import contextlib
+
+    rng = np.random.RandomState(17)
+    nl, b, hkv, g, hd, c, kq = 3, 2, 2, 4, 128, 128, 4
+    h = hkv * g
+    li = 2
+    k8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.3, (nl, b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.3, (nl, b, hkv, c)), jnp.float32)
+    k8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, kq, hd)), jnp.int8)
+    v8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, kq, hd)), jnp.int8)
+    ksn = jnp.asarray(rng.rand(b, hkv, kq), jnp.float32)
+    vsn = jnp.asarray(rng.rand(b, hkv, kq), jnp.float32)
+    pos = jnp.asarray([30, c - kq], jnp.int32)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref_store = KV.store_kv_rows_k(
+            k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos, layer=jnp.int32(li)
+        )
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out_store = KV.store_kv_rows_k(
+                k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos, layer=jnp.int32(li)
+            )
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    for o, r in zip(out_store, ref_store):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+
+    q = jnp.asarray(rng.randn(b, kq, h, hd) * 0.3, jnp.bfloat16)
+    valid = np.zeros((b, c), bool)
+    for i in range(b):
+        valid[i, 2 : int(pos[i]) + kq] = True
+    valid = jnp.asarray(valid)
+    k8u, ksu, v8u, vsu = ref_store
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = KV.decode_attention_int8_multi(
+            q, k8u[li], ksu[li], v8u[li], vsu[li], valid, pos
+        )
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out = KV.decode_attention_int8_multi(
+                q, k8u, ksu, v8u, vsu, valid, pos, layer=jnp.int32(li)
+            )
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
 @pytest.mark.smoke
 def test_tiled_decode_kernel_matches_oracle():
     """Length-aware tiled decode kernel: partial live lengths (incl. tile
