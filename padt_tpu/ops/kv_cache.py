@@ -473,6 +473,112 @@ def _store_kv_rows_stacked(k8, ks, v8, vs, k8n, ksn4, v8n, vsn4, pos, layer):
     )(pos, li, k8, ks, v8, vs, k8n, ksn4, v8n, vsn4)
 
 
+def _store_rows_kernel_all_layers(
+    pos_ref, k8_ref, ks_ref, v8_ref, vs_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref,
+    k8o_ref, kso_ref, v8o_ref, vso_ref,
+):
+    """`_store_rows_kernel_stacked` with the layer as grid dim 0 instead of a
+    scalar-prefetch index: one launch writes EVERY layer's new row (the
+    post-scan write for the serve engine's read-only-cache decode step)."""
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(1)
+    r = pos_ref[bi] % _STORE_ROWS
+
+    def put(o_ref, cur_ref, new_ref):
+        cur = cur_ref[0, 0, 0]  # (R, d)
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0) == r
+        o_ref[0, 0, 0] = jnp.where(rowmask, new_ref[0, 0, 0], cur)
+
+    put(k8o_ref, k8_ref, k8n_ref)
+    put(kso_ref, ks_ref, ksn_ref)
+    put(v8o_ref, v8_ref, v8n_ref)
+    put(vso_ref, vs_ref, vsn_ref)
+
+
+def store_kv_rows_all_layers(
+    k8: jnp.ndarray,  # (L, B, Hkv, C, hd) int8 full stack
+    ks: jnp.ndarray,  # (L, B, Hkv, C) f32
+    v8: jnp.ndarray,
+    vs: jnp.ndarray,
+    k8r: jnp.ndarray,  # (L, B, Hkv, 1, hd) int8 — every layer's new row
+    ksr: jnp.ndarray,  # (L, B, Hkv, 1) f32
+    v8r: jnp.ndarray,
+    vsr: jnp.ndarray,
+    pos: jnp.ndarray,  # (B,) int32 — per-sample cache position (all layers)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Write each sample's new KV row at its own position in EVERY layer, in
+    place. Pairs with `decode_attention_int8(..., layer=, fresh_kv=)`: the
+    scan's attention reads the pre-update stack (loop-invariant — no carry
+    copies), each layer's fresh row leaves as stacked ys, and this single
+    aliased launch lands all of them."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .attention import use_pallas
+
+    nl, b, hkv, c, hd = k8.shape
+    if not use_pallas():
+        upd = jax.vmap(
+            lambda bufL, kvL: jax.vmap(
+                lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0))
+            )(bufL, kvL, pos)
+        )
+        upd_s = jax.vmap(
+            lambda bufL, sL: jax.vmap(
+                lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p))
+            )(bufL, sL, pos)
+        )
+        return upd(k8, k8r), upd_s(ks, ksr), upd(v8, v8r), upd_s(vs, vsr)
+
+    R = _STORE_ROWS
+    tile = lambda l, bi, hi, pos_r: (l, bi, hi, pos_r[bi] // R, 0)
+    row = lambda l, bi, hi, pos_r: (l, bi, hi, 0, 0)
+    spec_c8 = pl.BlockSpec((1, 1, 1, R, hd), tile)
+    spec_cs = pl.BlockSpec((1, 1, 1, R, 1), tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nl, b, hkv),
+        in_specs=[
+            spec_c8,
+            spec_cs,
+            spec_c8,
+            spec_cs,
+            pl.BlockSpec((1, 1, 1, 1, hd), row),
+            pl.BlockSpec((1, 1, 1, 1, 1), row),
+            pl.BlockSpec((1, 1, 1, 1, hd), row),
+            pl.BlockSpec((1, 1, 1, 1, 1), row),
+        ],
+        out_specs=[spec_c8, spec_cs, spec_c8, spec_cs],
+    )
+    k8o, ks5o, v8o, vs5o = pl.pallas_call(
+        _store_rows_kernel_all_layers,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct((nl, b, hkv, c, 1), ks.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct((nl, b, hkv, c, 1), vs.dtype),
+        ],
+        # flat input indices INCLUDE the scalar-prefetch arg (pos=0)
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(
+        pos,
+        k8,
+        ks.reshape(nl, b, hkv, c, 1),
+        v8,
+        vs.reshape(nl, b, hkv, c, 1),
+        k8r,
+        ksr.reshape(nl, b, hkv, 1, 1),
+        v8r,
+        vsr.reshape(nl, b, hkv, 1, 1),
+    )
+    return k8o, ks5o.reshape(nl, b, hkv, c), v8o, vs5o.reshape(nl, b, hkv, c)
+
+
 def store_kv_rows(
     k8: jnp.ndarray,  # (B, Hkv, C, hd) int8; (L, B, Hkv, C, hd) with layer=
     ks: jnp.ndarray,  # (B, Hkv, C) f32;     (L, B, Hkv, C) with layer=

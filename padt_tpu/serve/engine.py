@@ -37,7 +37,11 @@ import jax.numpy as jnp
 from ..config import PaDTConfig
 from ..models import language
 from ..models import padt as padt_model
-from ..ops.kv_cache import decode_attention_int8, quantize_kv, store_kv_rows
+from ..ops.kv_cache import (
+    decode_attention_int8,
+    quantize_kv,
+    store_kv_rows_all_layers,
+)
 from ..ops.norms import rms_norm
 from ..ops.quant import linear as qlinear
 from ..ops.rope import mrope_cos_sin
@@ -220,32 +224,38 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
     new_valid = state.valid.at[rows, store_pos].set(cur | state.active)
 
     nl = len(jax.tree.leaves(params["layers"])[0])
+    k8a, ksa, v8a, vsa = state.k8, state.ks, state.v8, state.vs
 
-    def body(carry, layer):
-        # stacked cache in the CARRY + layer-indexed kernels: threading
-        # per-layer slices through scan xs/ys makes XLA restack the full cache
-        # every step (~6 ms at 3B/b96/C1280 — BASELINE.md round-3 decode path)
-        x, k8a, ksa, v8a, vsa = carry
+    def body(x, layer):
+        # read-only-cache decomposition (same as language._decode_step_int8):
+        # the layer-indexed kernel reads the PRE-update stack (loop invariant
+        # -> no scan-carry cache copies) and composites the current token's
+        # K/V in-kernel; every layer's new row leaves as ys and ONE all-layer
+        # aliased row store lands them post-scan. The fresh column is
+        # composited for INACTIVE slots too — their outputs are discarded and
+        # their (clamped) row writes land in caches that are never read again.
         lp, li = layer
         xn = rms_norm(x, lp["input_ln_w"], tcfg.rms_norm_eps)
         q, k, v = language._qkv(xn, lp, tcfg, cos, sin)
         k8n, ksn = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, 1, hd)
         v8n, vsn = quantize_kv(v.transpose(0, 2, 1, 3))
-        # in-place aliased row store (a vmapped dynamic_update_slice lowers to
-        # an XLA scatter: measured +20 ms/step at 3B/64 slots)
-        k8a, ksa, v8a, vsa = store_kv_rows(
-            k8a, ksa, v8a, vsa, k8n, ksn, v8n, vsn, store_pos, layer=li
+        attn = decode_attention_int8(
+            q, k8a, ksa, v8a, vsa, state.valid, layer=li,
+            fresh_kv=(k8n, ksn, v8n, vsn),
         )
-        attn = decode_attention_int8(q, k8a, ksa, v8a, vsa, new_valid, layer=li)
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], tcfg.rms_norm_eps)
         x = x + language._mlp(xn, lp)
-        return (x, k8a, ksa, v8a, vsa), None
+        return x, (k8n, ksn, v8n, vsn)
 
-    (x, k8, ks, v8, vs), _ = jax.lax.scan(
-        body,
-        (inputs_embeds, state.k8, state.ks, state.v8, state.vs),
-        (params["layers"], jnp.arange(nl, dtype=jnp.int32)),
+    x, (k8r, ksr, v8r, vsr) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], jnp.arange(nl, dtype=jnp.int32))
+    )
+    # one aliased launch writes every (layer, slot) row at its own position
+    # (a vmapped dynamic_update_slice lowers to an XLA scatter: measured
+    # +20 ms/step at 3B/64 slots)
+    k8, ks, v8, vs = store_kv_rows_all_layers(
+        k8a, ksa, v8a, vsa, k8r, ksr, v8r, vsr, store_pos
     )
     hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)

@@ -448,6 +448,54 @@ def test_stacked_store_kv_rows_matches_sliced():
 
 
 @pytest.mark.smoke
+def test_store_kv_rows_all_layers_matches_per_layer():
+    """One-launch all-layer row store (the serve engine's post-scan write)
+    vs layer-by-layer stores: identical caches, incl. tile-boundary rows."""
+    import contextlib
+
+    rng = np.random.RandomState(19)
+    nl, b, hkv, c, hd = 3, 4, 2, 256, 128
+    k8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.5, (nl, b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.5, (nl, b, hkv, c)), jnp.float32)
+    k8r = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, 1, hd)), jnp.int8)
+    v8r = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, 1, hd)), jnp.int8)
+    ksr = jnp.asarray(rng.lognormal(-4, 0.5, (nl, b, hkv, 1)), jnp.float32)
+    vsr = jnp.asarray(rng.lognormal(-4, 0.5, (nl, b, hkv, 1)), jnp.float32)
+    pos = jnp.asarray([3, 97, 160, 255], jnp.int32)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        rk8, rks, rv8, rvs = np.asarray(k8), np.asarray(ks), np.asarray(v8), np.asarray(vs)
+        for li in range(nl):
+            o = KV.store_kv_rows(
+                jnp.asarray(rk8), jnp.asarray(rks), jnp.asarray(rv8), jnp.asarray(rvs),
+                k8r[li], ksr[li], v8r[li], vsr[li], pos, layer=jnp.int32(li),
+            )
+            rk8, rks, rv8, rvs = map(np.asarray, o)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out = KV.store_kv_rows_all_layers(k8, ks, v8, vs, k8r, ksr, v8r, vsr, pos)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    for o, r in zip(out, (rk8, rks, rv8, rvs)):
+        np.testing.assert_array_equal(np.asarray(o), r)
+    # XLA fallback agrees too
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        out2 = KV.store_kv_rows_all_layers(k8, ks, v8, vs, k8r, ksr, v8r, vsr, pos)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    for o, r in zip(out2, (rk8, rks, rv8, rvs)):
+        np.testing.assert_array_equal(np.asarray(o), r)
+
+
+@pytest.mark.smoke
 def test_stacked_multi_and_k_store_match_sliced():
     """Speculative-verify stacked paths: `store_kv_rows_k(..., layer=)` and
     `decode_attention_int8_multi(..., layer=)` vs the sliced-layer oracles."""
