@@ -227,6 +227,109 @@ def _decode_attention_int8_pallas_stacked_fresh(
       vsn.reshape(b, hkv, 1, 1), valid3)
 
 
+def _decode_kernel_multi_stacked_fresh(
+    li_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
+    valid_ref, o_ref, *, sm_scale: float, kq: int,
+):
+    """`_decode_kernel_multi_stacked` reading the PRE-update cache: the K
+    verify-step tokens' K/V arrive as separate rows and are composited as K
+    virtual softmax columns with intra-block causality (query i sees fresh
+    column j iff j <= i). The cache mask is `valid` alone — the caller
+    guarantees it excludes the K new positions, so no per-query write_pos
+    limit is needed on the cache side."""
+    q = q_ref[0, 0]  # (G*kq, hd) bf16
+    gk, _ = q.shape
+    c = k8_ref.shape[3]
+    k = k8_ref[0, 0, 0].astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (G*kq, C)
+    scores = scores * (ks_ref[0, 0, 0] * sm_scale)
+    scores = jnp.where(valid_ref[0] > 0, scores, NEG_INF)
+    # fresh columns, one VPU reduction per static j (a (G*kq,hd)x(kq,hd)
+    # dot_general risks the same Mosaic broadcast-verification bug as the
+    # single-row case; kq is 4-8, so kq reductions are tiny)
+    qf = q.astype(jnp.float32)
+    kn = kn_ref[0, 0].astype(jnp.float32)  # (kq, hd)
+    ksn = ksn_ref[0, 0]  # (kq, 1) f32
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (gk, 1), 0) % kq
+    s_f = []
+    for j in range(kq):
+        sj = jnp.sum(qf * kn[j : j + 1, :], axis=-1, keepdims=True) * (
+            ksn[j, 0] * sm_scale
+        )  # (G*kq, 1)
+        s_f.append(jnp.where(row_i >= j, sj, NEG_INF))
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    for sj in s_f:
+        m = jnp.maximum(m, sj)
+    p = jnp.exp(scores - m)  # (G*kq, C)
+    p_f = [jnp.exp(sj - m) for sj in s_f]  # kq x (G*kq, 1)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    for pj in p_f:
+        denom = denom + pj
+    pv = (p / denom * vs_ref[0, 0, 0]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        pv, v8_ref[0, 0, 0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
+    )  # (G*kq, hd)
+    vn = vn_ref[0, 0].astype(jnp.float32)  # (kq, hd)
+    vsn = vsn_ref[0, 0]  # (kq, 1)
+    for j, pj in enumerate(p_f):
+        # round pv through bf16 like the stored-row path (pv matmul operand)
+        pvj = ((pj / denom) * vsn[j, 0]).astype(jnp.bfloat16).astype(jnp.float32)
+        out = out + pvj * vn[j : j + 1, :]
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _decode_attention_int8_pallas_multi_stacked_fresh(
+    qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid, layer, kq: int
+):
+    """qg: (B, Hkv, G*kq, hd); k8/v8: (L, B, Hkv, C, hd) PRE-update stacks;
+    k8n/v8n: (B, Hkv, kq, hd); ksn/vsn: (B, Hkv, kq); valid: (B, C) WITHOUT
+    the kq new positions."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hkv, gk, hd = qg.shape
+    nl, _, _, c, _ = k8.shape
+    ks5 = ks.reshape(nl, b, hkv, 1, c)
+    vs5 = vs.reshape(nl, b, hkv, 1, c)
+    valid3 = valid.astype(jnp.int32).reshape(b, 1, c)
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    kern = functools.partial(
+        _decode_kernel_multi_stacked_fresh, sm_scale=1.0 / (hd**0.5), kq=kq
+    )
+    at_layer = lambda i, j, li_r: (li_r[0], i, j, 0, 0)
+    at_bh = lambda i, j, li_r: (i, j, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, gk, hd), at_bh),
+            pl.BlockSpec((1, 1, 1, c, hd), at_layer),
+            pl.BlockSpec((1, 1, 1, 1, c), at_layer),
+            pl.BlockSpec((1, 1, 1, c, hd), at_layer),
+            pl.BlockSpec((1, 1, 1, 1, c), at_layer),
+            pl.BlockSpec((1, 1, kq, hd), at_bh),
+            pl.BlockSpec((1, 1, kq, 1), at_bh),
+            pl.BlockSpec((1, 1, kq, hd), at_bh),
+            pl.BlockSpec((1, 1, kq, 1), at_bh),
+            pl.BlockSpec((1, 1, c), lambda i, j, li_r: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, gk, hd), at_bh),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gk, hd), qg.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(li, qg, k8, ks5, v8, vs5, k8n, ksn.reshape(b, hkv, kq, 1), v8n,
+      vsn.reshape(b, hkv, kq, 1), valid3)
+
+
 def _decode_attention_int8_pallas_stacked(q, k8, ks, v8, vs, valid, layer):
     """q: (B, Hkv, G, hd); k8/v8: (LAYERS, B, Hkv, C, hd) int8 full stacks;
     ks/vs: (LAYERS, B, Hkv, C) f32; layer: () int32. Only layer `layer`'s
@@ -577,6 +680,119 @@ def store_kv_rows_all_layers(
         vsr.reshape(nl, b, hkv, 1, 1),
     )
     return k8o, ks5o.reshape(nl, b, hkv, c), v8o, vs5o.reshape(nl, b, hkv, c)
+
+
+def _store_rows_k_kernel_all_layers(
+    pos_ref, k8_ref, ks_ref, v8_ref, vs_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref,
+    k8o_ref, kso_ref, v8o_ref, vso_ref, *, offset: int, kq: int,
+):
+    """`_store_rows_k_kernel_stacked` with the layer as grid dim 0 instead of
+    a scalar-prefetch index: one two-pass launch writes EVERY layer's K new
+    rows (the post-scan write for the serve engine's speculative verify)."""
+    from jax.experimental import pallas as pl
+
+    bi = pl.program_id(1)
+    r = pos_ref[bi] % _STORE_ROWS - offset * _STORE_ROWS
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_STORE_ROWS, kq), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_STORE_ROWS, kq), 1)
+    sel = (ii == r + jj).astype(jnp.float32)
+    rowmask = (jnp.sum(sel, axis=1, keepdims=True) > 0)
+
+    def put(o_ref, cur_ref, new_ref):
+        cur = cur_ref[0, 0, 0]  # (R, d)
+        new = new_ref[0, 0, 0].astype(jnp.float32)  # (K, d)
+        shifted = jax.lax.dot_general(
+            sel, new, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        o_ref[0, 0, 0] = jnp.where(rowmask, shifted.astype(cur.dtype), cur)
+
+    put(k8o_ref, k8_ref, k8n_ref)
+    put(kso_ref, ks_ref, ksn_ref)
+    put(v8o_ref, v8_ref, v8n_ref)
+    put(vso_ref, vs_ref, vsn_ref)
+
+
+def store_kv_rows_k_all_layers(
+    k8: jnp.ndarray,  # (L, B, Hkv, C, hd) int8 full stack
+    ks: jnp.ndarray,  # (L, B, Hkv, C) f32
+    v8: jnp.ndarray,
+    vs: jnp.ndarray,
+    k8r: jnp.ndarray,  # (L, B, Hkv, K, hd) int8 — every layer's K new rows
+    ksr: jnp.ndarray,  # (L, B, Hkv, K) f32
+    v8r: jnp.ndarray,
+    vsr: jnp.ndarray,
+    pos: jnp.ndarray,  # (B,) int32 — first row position per sample
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`store_kv_rows_all_layers` for K consecutive rows per (layer, sample)
+    (the speculative verify step's post-scan write). Two aliased passes cover
+    the straddled 32-row tile pair, exactly like `store_kv_rows_k`."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .attention import use_pallas
+
+    nl, b, hkv, c, hd = k8.shape
+    kq = k8r.shape[3]
+    assert kq <= _STORE_ROWS
+    if not use_pallas():
+        upd = jax.vmap(
+            lambda bufL, kvL: jax.vmap(
+                lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0))
+            )(bufL, kvL, pos)
+        )
+        upd_s = jax.vmap(
+            lambda bufL, sL: jax.vmap(
+                lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p))
+            )(bufL, sL, pos)
+        )
+        return upd(k8, k8r), upd_s(ks, ksr), upd(v8, v8r), upd_s(vs, vsr)
+
+    R = _STORE_ROWS
+    n_tiles = c // R
+    ks5 = ks.reshape(nl, b, hkv, c, 1)
+    vs5 = vs.reshape(nl, b, hkv, c, 1)
+    ksr5 = ksr.reshape(nl, b, hkv, kq, 1)
+    vsr5 = vsr.reshape(nl, b, hkv, kq, 1)
+
+    for offset in (0, 1):
+        tile = (
+            (lambda l, bi, hi, pos_r: (l, bi, hi, pos_r[bi] // R, 0))
+            if offset == 0
+            else (lambda l, bi, hi, pos_r: (l, bi, hi, jnp.minimum(pos_r[bi] // R + 1, n_tiles - 1), 0))
+        )
+        row = lambda l, bi, hi, pos_r: (l, bi, hi, 0, 0)
+        spec_c8 = pl.BlockSpec((1, 1, 1, R, hd), tile)
+        spec_cs = pl.BlockSpec((1, 1, 1, R, 1), tile)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nl, b, hkv),
+            in_specs=[
+                spec_c8, spec_cs, spec_c8, spec_cs,
+                pl.BlockSpec((1, 1, 1, kq, hd), row),
+                pl.BlockSpec((1, 1, 1, kq, 1), row),
+                pl.BlockSpec((1, 1, 1, kq, hd), row),
+                pl.BlockSpec((1, 1, 1, kq, 1), row),
+            ],
+            out_specs=[spec_c8, spec_cs, spec_c8, spec_cs],
+        )
+        pos_eff = pos if offset == 0 else jnp.where(pos // R + 1 <= n_tiles - 1, pos, 0)
+        k8, ks5, v8, vs5 = pl.pallas_call(
+            functools.partial(_store_rows_k_kernel_all_layers, offset=offset, kq=kq),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+                jax.ShapeDtypeStruct(ks5.shape, ks5.dtype),
+                jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+                jax.ShapeDtypeStruct(vs5.shape, vs5.dtype),
+            ],
+            # flat input indices INCLUDE the scalar-prefetch arg (pos=0)
+            input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+        )(pos_eff, k8, ks5, v8, vs5, k8r, ksr5, v8r, vsr5)
+    return k8, ks5.reshape(nl, b, hkv, c), v8, vs5.reshape(nl, b, hkv, c)
 
 
 def store_kv_rows(
@@ -967,8 +1183,16 @@ def decode_attention_int8_multi(
     v8: jnp.ndarray,
     vs: jnp.ndarray,
     valid: jnp.ndarray,  # (B, C) bool — INCLUDING the K new positions
+    #                      (EXCLUDING them with fresh_kv=)
     write_pos: jnp.ndarray,  # (B,) int32 — first new position
     layer=None,  # () int32 — read layer `layer` of the full stack
+    fresh_kv=None,  # (k8n, ksn, v8n, vsn) with k8n/v8n (B, Hkv, K, hd) and
+    #              ksn/vsn (B, Hkv, K): the K verify-step tokens' own K/V,
+    #              composited in-kernel with intra-block causality. The cache
+    #              args must then be PRE-update and `valid` must EXCLUDE the
+    #              K new positions — the caller's row store happens once,
+    #              post-scan, on a stack the kernels never read (see
+    #              decode_attention_int8's fresh_kv note).
 ) -> jnp.ndarray:
     """Grouped K-token attention over the int8 cache -> (B, K, H, hd).
     Query i attends valid positions <= write_pos + i (causal over the new
@@ -981,6 +1205,41 @@ def decode_attention_int8_multi(
     g = h // hkv
     # row r = gi*kq + i (head-major): q (B,K,H,hd) -> (B,Hkv,G,K,hd) -> flat
     qg = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, kq, hd).reshape(b, hkv, g * kq, hd)
+    if fresh_kv is not None:
+        assert layer is not None, "fresh_kv requires the stacked-cache layout"
+        k8n, ksn, v8n, vsn = fresh_kv
+        if use_pallas():
+            out = _decode_attention_int8_pallas_multi_stacked_fresh(
+                qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid, layer, kq
+            )
+        else:
+            li = jnp.asarray(layer, jnp.int32)
+            pick = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+            k8l, ksl, v8l, vsl = pick(k8), pick(ks), pick(v8), pick(vs)
+            hd_scale = 1.0 / (hd**0.5)
+            scores = jnp.einsum(
+                "bkrd,bkcd->bkrc", qg.astype(jnp.bfloat16), k8l.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * (ksl * hd_scale)[:, :, None, :]
+            scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+            s_f = jnp.einsum(
+                "bkrd,bkjd->bkrj", qg.astype(jnp.float32), k8n.astype(jnp.float32),
+            ) * (ksn * hd_scale)[:, :, None, :]  # (B, Hkv, G*kq, kq)
+            row_i = (jnp.arange(g * kq) % kq)[None, None, :, None]
+            s_f = jnp.where(row_i >= jnp.arange(kq)[None, None, None, :], s_f, NEG_INF)
+            full = jnp.concatenate([scores, s_f], axis=-1)
+            probs = jax.nn.softmax(full, axis=-1)
+            p_c, p_f = probs[..., : scores.shape[-1]], probs[..., scores.shape[-1] :]
+            # fresh pv rounds through bf16 exactly like the stored-row path
+            out = jnp.einsum(
+                "bkrc,bkcd->bkrd", (p_c * vsl[:, :, None, :]).astype(jnp.bfloat16),
+                v8l.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bkrj,bkjd->bkrd", (p_f * vsn[:, :, None, :]).astype(jnp.bfloat16),
+                v8n.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+            )
+            out = out.astype(q.dtype)
+        return out.reshape(b, hkv, g, kq, hd).transpose(0, 3, 1, 2, 4).reshape(b, kq, h, hd)
     if layer is not None and use_pallas():
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu

@@ -267,7 +267,7 @@ def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_po
     stored at store_pos..store_pos+K-1 (k-row aliased store), and attention
     runs all K queries over ONE cache read with per-query causal limits
     (`decode_attention_int8_multi`). Returns hidden (B, K, D)."""
-    from ..ops.kv_cache import decode_attention_int8_multi, store_kv_rows_k
+    from ..ops.kv_cache import decode_attention_int8_multi, store_kv_rows_k_all_layers
 
     b, kq, _ = inputs_embeds.shape
     pos3 = jnp.broadcast_to(state.text_pos[None, :, None], (3, b, kq)) + jnp.arange(kq)[None, None, :]
@@ -281,29 +281,32 @@ def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_po
     new_valid = state.valid | (newly & state.active[:, None])
 
     nl = len(jax.tree.leaves(params["layers"])[0])
+    k8a, ksa, v8a, vsa = state.k8, state.ks, state.v8, state.vs
 
-    def body(carry, layer):
-        x, k8a, ksa, v8a, vsa = carry
+    def body(x, layer):
+        # read-only-cache decomposition (same as _decode_step_slots): kernels
+        # read the PRE-update stack with the K verify tokens' K/V composited
+        # in-kernel (intra-block causal); every layer's K new rows leave as
+        # ys and ONE all-layer aliased k-row store lands them post-scan.
         lp, li = layer
         xn = rms_norm(x, lp["input_ln_w"], tcfg.rms_norm_eps)
         q, k, v = language._qkv(xn, lp, tcfg, cos, sin)
         k8n, ksn = quantize_kv(k.transpose(0, 2, 1, 3))  # (B, Hkv, K, hd)
         v8n, vsn = quantize_kv(v.transpose(0, 2, 1, 3))
-        k8a, ksa, v8a, vsa = store_kv_rows_k(
-            k8a, ksa, v8a, vsa, k8n, ksn, v8n, vsn, store_pos, layer=li
-        )
         attn = decode_attention_int8_multi(
-            q, k8a, ksa, v8a, vsa, new_valid, store_pos, layer=li
+            q, k8a, ksa, v8a, vsa, state.valid, store_pos, layer=li,
+            fresh_kv=(k8n, ksn, v8n, vsn),
         )
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], tcfg.rms_norm_eps)
         x = x + language._mlp(xn, lp)
-        return (x, k8a, ksa, v8a, vsa), None
+        return x, (k8n, ksn, v8n, vsn)
 
-    (x, k8, ks, v8, vs), _ = jax.lax.scan(
-        body,
-        (inputs_embeds, state.k8, state.ks, state.v8, state.vs),
-        (params["layers"], jnp.arange(nl, dtype=jnp.int32)),
+    x, (k8r, ksr, v8r, vsr) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], jnp.arange(nl, dtype=jnp.int32))
+    )
+    k8, ks, v8, vs = store_kv_rows_k_all_layers(
+        k8a, ksa, v8a, vsa, k8r, ksr, v8r, vsr, store_pos
     )
     hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)

@@ -562,6 +562,109 @@ def test_stacked_multi_and_k_store_match_sliced():
 
 
 @pytest.mark.smoke
+def test_multi_fresh_matches_store_then_attend():
+    """Speculative verify, read-only-cache decomposition: attention over the
+    PRE-update stack with the K fresh rows composited in-kernel
+    (`decode_attention_int8_multi(fresh_kv=)`) must match the store-then-
+    attend oracle (rows stored, new positions validated, per-query causal
+    limit). Also: `store_kv_rows_k_all_layers` == per-layer k-row stores."""
+    import contextlib
+
+    rng = np.random.RandomState(23)
+    nl, b, hkv, g, hd, c, kq = 3, 4, 2, 4, 128, 256, 4
+    h = hkv * g
+    li = 1
+    k8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, c, hd)), jnp.int8)
+    ks = jnp.asarray(rng.lognormal(-4, 0.3, (nl, b, hkv, c)), jnp.float32)
+    vs = jnp.asarray(rng.lognormal(-4, 0.3, (nl, b, hkv, c)), jnp.float32)
+    k8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, kq, hd)), jnp.int8)
+    v8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, kq, hd)), jnp.int8)
+    ksn = jnp.asarray(rng.rand(b, hkv, kq), jnp.float32)
+    vsn = jnp.asarray(rng.rand(b, hkv, kq), jnp.float32)
+    q = jnp.asarray(rng.randn(b, kq, h, hd) * 0.3, jnp.bfloat16)
+    # tile-interior, tile-boundary straddle, and end-of-capacity positions
+    pos = jnp.asarray([5, 30, 97, c - kq], jnp.int32)
+
+    valid_pre = np.zeros((b, c), bool)
+    for i in range(b):
+        valid_pre[i, 2 : int(pos[i])] = True
+    valid_pre = jnp.asarray(valid_pre)
+    valid_post = np.asarray(valid_pre).copy()
+    for i in range(b):
+        valid_post[i, int(pos[i]) : int(pos[i]) + kq] = True
+    valid_post = jnp.asarray(valid_post)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        stored = KV.store_kv_rows_k(
+            k8, ks, v8, vs, k8n, ksn, v8n, vsn, pos, layer=jnp.int32(li)
+        )
+        k8u, ksu, v8u, vsu = stored
+        ref = KV.decode_attention_int8_multi(
+            q, k8u[li], ksu[li], v8u[li], vsu[li], valid_post, pos
+        )
+        out_xla = KV.decode_attention_int8_multi(
+            q, k8, ks, v8, vs, valid_pre, pos, layer=jnp.int32(li),
+            fresh_kv=(k8n, ksn, v8n, vsn),
+        )
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    np.testing.assert_allclose(
+        np.asarray(out_xla, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out_pl = KV.decode_attention_int8_multi(
+                q, k8, ks, v8, vs, valid_pre, pos, layer=jnp.int32(li),
+                fresh_kv=(k8n, ksn, v8n, vsn),
+            )
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    np.testing.assert_allclose(
+        np.asarray(out_pl, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+    # all-layer k-row store vs per-layer stores (kernel + XLA fallback)
+    k8rL = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, kq, hd)), jnp.int8)
+    v8rL = jnp.asarray(rng.randint(-127, 128, (nl, b, hkv, kq, hd)), jnp.int8)
+    ksrL = jnp.asarray(rng.rand(nl, b, hkv, kq), jnp.float32)
+    vsrL = jnp.asarray(rng.rand(nl, b, hkv, kq), jnp.float32)
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        rk8, rks, rv8, rvs = map(np.asarray, (k8, ks, v8, vs))
+        for l_ in range(nl):
+            o = KV.store_kv_rows_k(
+                jnp.asarray(rk8), jnp.asarray(rks), jnp.asarray(rv8), jnp.asarray(rvs),
+                k8rL[l_], ksrL[l_], v8rL[l_], vsrL[l_], pos, layer=jnp.int32(l_),
+            )
+            rk8, rks, rv8, rvs = map(np.asarray, o)
+        out_fb = KV.store_kv_rows_k_all_layers(
+            k8, ks, v8, vs, k8rL, ksrL, v8rL, vsrL, pos
+        )
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    for o, r in zip(out_fb, (rk8, rks, rv8, rvs)):
+        np.testing.assert_array_equal(np.asarray(o), r)
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        ctx = contextlib.nullcontext() if ON_TPU else _interp()
+        with ctx:
+            out_k = KV.store_kv_rows_k_all_layers(
+                k8, ks, v8, vs, k8rL, ksrL, v8rL, vsrL, pos
+            )
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    for o, r in zip(out_k, (rk8, rks, rv8, rvs)):
+        np.testing.assert_array_equal(np.asarray(o), r)
+
+
+@pytest.mark.smoke
 def test_tiled_decode_kernel_matches_oracle():
     """Length-aware tiled decode kernel: partial live lengths (incl. tile
     boundaries and sub-tile lengths) must match the XLA oracle exactly —
