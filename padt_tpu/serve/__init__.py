@@ -3,6 +3,7 @@
 from .engine import (  # noqa: F401
     Completion,
     DecodeState,
+    MultiEngine,
     PrefillPack,
     Request,
     ServeEngine,

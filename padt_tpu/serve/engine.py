@@ -684,6 +684,149 @@ class ServeEngine:
         )
         return stack, deltas, budgets
 
+    def start_run(self, requests: List[Request], schedule: str = "fifo"):
+        """Begin a run: order + group requests, reset per-run bookkeeping.
+        Returns a RunCtx to drive with `_refill` / `_dispatch_chunk` /
+        `_sync_harvest` and finish with `_finish_run` — `run()` does exactly
+        that; `MultiEngine` interleaves the same steps across engines."""
+        if schedule == "longest_first":
+            requests = sorted(requests, key=lambda q: -q.max_new_tokens)
+        elif schedule != "fifo":
+            raise ValueError(f"unknown schedule {schedule!r}")
+        ctx = RunCtx()
+        # group by leaf shapes: heterogeneous prompt/patch buckets coexist in
+        # one slot pool; each admission bucket is shape-uniform (own compile)
+        for q in requests:
+            key = self._shape_key(q)
+            if key not in ctx.pending:
+                ctx.pending[key] = deque()
+            ctx.pending[key].append(q)
+        ctx.n_pending = len(requests)
+        ctx.free = list(range(self.n_slots))
+        ctx.prev_n_gen = np.zeros(self.n_slots, np.int64)  # n_gen at last sync
+        # fresh step counter per run (state persists across runs)
+        self.state = self.state._replace(steps=jnp.zeros((), jnp.int32))
+        ctx.t_start = time.perf_counter()
+        return ctx
+
+    def _sync_flags(self):
+        # ONE dispatch + ONE readback per chunk (two np.asarray calls cost
+        # two ~40 ms host round-trips each on the axon backend)
+        both = np.asarray(self._flags(self.state))
+        n = self.n_slots
+        return both[:n].astype(bool), both[n : 2 * n], int(both[2 * n])
+
+    def _admit(self, ctx, grp: deque, r: int):
+        take = [grp.popleft() for _ in range(min(r, len(grp)))]
+        ctx.n_pending -= len(take)
+        slots = [ctx.free.pop() for _ in range(r)]
+        stack, deltas, budgets = self._make_bucket(take, r)
+        t0 = time.perf_counter()
+        out = self._prefill(self.params, stack, deltas)
+        pack, art = out if self.keep_artifacts else (out, None)
+        self.state = self._insert(
+            self.state, pack, jnp.asarray(np.array(slots, np.int32)), jnp.asarray(budgets)
+        )
+        # no sync: dispatch stays async (the next chunk's flag readback
+        # orders everything); prefill_s is therefore dispatch-side time
+        # and the device-side cost lands in decode_s
+        ctx.stats.prefill_s += time.perf_counter() - t0
+        ctx.prev_n_gen[slots] = 0  # insert resets refilled slots' n_gen
+        for i, q in enumerate(take):
+            ctx.occupant[slots[i]] = q
+            if art is not None:
+                # per-request artifact slice (device-side; leading dim 1)
+                ctx.slot_art[slots[i]] = jax.tree.map(lambda x: x[i : i + 1], art)
+        # padding slots go straight back to the free list
+        for s in slots[len(take):]:
+            ctx.free.append(s)
+
+    def _refill(self, ctx):
+        """Admit pending requests: full buckets first, then straggler (small)
+        buckets so freed slots never idle waiting for a full bucket to form."""
+        progressed = True
+        while ctx.n_pending and progressed:
+            progressed = False
+            groups = sorted(ctx.pending.values(), key=len, reverse=True)
+            for grp in groups:
+                if not grp:
+                    continue
+                if len(ctx.free) >= self.prefill_bucket and len(grp) >= self.prefill_bucket:
+                    self._admit(ctx, grp, self.prefill_bucket)
+                    progressed = True
+                    break
+                if len(ctx.free) >= self.prefill_bucket_small and (
+                    len(grp) < self.prefill_bucket or len(ctx.free) < self.prefill_bucket
+                ):
+                    self._admit(ctx, grp, self.prefill_bucket_small)
+                    progressed = True
+                    break
+
+    def _dispatch_chunk(self, ctx):
+        """Dispatch one budget-aware decode chunk (async — no readback).
+
+        No active slot can finish before its remaining budget runs out
+        (EOS can come earlier — the while_loop early-exits then), so run
+        min(remaining) steps in ONE dispatch, bounded to
+        [chunk_steps, max_chunk_steps]: long stretches sync ~4x less
+        often, finishing slots still harvest promptly."""
+        remaining = [
+            min(q.max_new_tokens, self.max_new_tokens) - int(ctx.prev_n_gen[s])
+            for s, q in ctx.occupant.items()
+        ]
+        chunk_n = int(np.clip(min(remaining), self.chunk_steps, self.max_chunk_steps))
+        ctx.t_chunk = time.perf_counter()
+        self.state = self._chunk(self.params, self.state, jnp.asarray(chunk_n, jnp.int32))
+
+    def _sync_harvest(self, ctx):
+        """Block on the dispatched chunk's flags; harvest finished slots."""
+        active, n_gen, steps_done = self._sync_flags()
+        ctx.stats.decode_s += time.perf_counter() - ctx.t_chunk
+        # exact device-side counter: decode forwards actually executed
+        # (while_loop early-exits when the pool drains; in speculative
+        # mode each counted step is one K-token VERIFY forward)
+        ctx.stats.decode_steps = steps_done
+        ctx.prev_n_gen = n_gen.copy()
+        done = [s for s in ctx.occupant if not active[s]]
+        if done:
+            # device-side gathers COPY the rows, so slot reuse can't
+            # clobber them; they stay lazy (no tunnel readback) until the
+            # run finishes. The index vector is PADDED to n_slots so every
+            # harvest reuses one compiled gather.
+            idx = np.array(done + [done[0]] * (self.n_slots - len(done)), np.int32)
+            tok_rows = self._gather(self.state.tokens, idx)
+            hid_rows = self._gather(self.state.hidden_out, idx) if self.collect_hidden else None
+            for jd, s in enumerate(done):
+                q = ctx.occupant.pop(s)
+                ng = int(n_gen[s])
+                ctx.results.append(
+                    Completion(
+                        uid=q.uid,
+                        tokens=tok_rows[jd],  # device row; trimmed below
+                        n_gen=ng,
+                        hidden=None if hid_rows is None else hid_rows[jd],
+                        artifacts=ctx.slot_art.pop(s, None),
+                    )
+                )
+                ctx.stats.generated_tokens += ng
+                ctx.stats.completions += 1
+                ctx.free.append(s)
+
+    def _finish_run(self, ctx) -> Tuple[List[Completion], ServeStats]:
+        # serving hands completions off device-resident (e.g. straight into
+        # vl_decode); the wall clock stops here and the host materialization
+        # below is for the Completion API's numpy contract
+        ctx.stats.wall_s = time.perf_counter() - ctx.t_start
+        if ctx.results:
+            all_tok = np.asarray(jnp.stack([c.tokens for c in ctx.results]))
+            for i, c in enumerate(ctx.results):
+                c.tokens = all_tok[i, : c.n_gen].copy()
+        if ctx.stats.decode_steps:
+            ctx.stats.slot_step_utilization = ctx.stats.generated_tokens / (
+                ctx.stats.decode_steps * self.n_slots
+            )
+        return ctx.results, ctx.stats
+
     def run(
         self, requests: List[Request], schedule: str = "fifo"
     ) -> Tuple[List[Completion], ServeStats]:
@@ -696,142 +839,106 @@ class ServeEngine:
         are known (in PaDT the task type predicts them: OVD/RIC long, REC
         short); results are per-request identical under any order (greedy
         decoding is prefix-stable and slots are independent)."""
+        ctx = self.start_run(requests, schedule)
+        while ctx.n_pending or ctx.occupant:
+            self._refill(ctx)
+            if not ctx.occupant:
+                break
+            self._dispatch_chunk(ctx)
+            self._sync_harvest(ctx)
+        return self._finish_run(ctx)
+
+
+class RunCtx:
+    """Per-run host bookkeeping for one engine (see ServeEngine.start_run)."""
+
+    def __init__(self):
+        self.pending: Dict[Any, deque] = {}
+        self.n_pending = 0
+        self.free: List[int] = []
+        self.occupant: Dict[int, Request] = {}
+        self.slot_art: Dict[int, Any] = {}
+        self.results: List[Completion] = []
+        self.stats = ServeStats()
+        self.prev_n_gen = None
+        self.t_start = 0.0
+        self.t_chunk = 0.0
+
+
+class MultiEngine:
+    """Data-parallel serving over N devices: one ServeEngine replica per
+    device (own params copy, own slot pool), one host scheduler.
+
+    The reference's multi-GPU eval shards the dataset across ranks up front
+    (`eval/evaluation_scripts/utils.py:176-266`, one fixed batch per rank);
+    here requests are balanced across replicas at admission (greedy
+    longest-processing-time assignment) and every replica's decode chunks are
+    dispatched BEFORE any replica's flag readback, so all devices compute
+    concurrently under one Python loop.
+
+    Per-request outputs are token-identical to a single engine run (greedy
+    decoding is prefix-stable; slots and replicas are independent) — see
+    tests/test_serve.py::test_multi_engine_matches_single.
+    """
+
+    def __init__(self, engines: List["ServeEngine"]):
+        assert engines, "need at least one engine"
+        self.engines = engines
+
+    @staticmethod
+    def for_devices(make_engine, devices) -> "MultiEngine":
+        """Build one replica per device: `make_engine(device) -> ServeEngine`
+        must place params (jax.device_put) and seed the engine for that
+        device; engine state follows params placement on first use."""
+        return MultiEngine([make_engine(d) for d in devices])
+
+    def run(
+        self, requests: List[Request], schedule: str = "longest_first"
+    ) -> Tuple[List[Completion], ServeStats]:
         if schedule == "longest_first":
             requests = sorted(requests, key=lambda q: -q.max_new_tokens)
         elif schedule != "fifo":
             raise ValueError(f"unknown schedule {schedule!r}")
-        # group by leaf shapes: heterogeneous prompt/patch buckets coexist in
-        # one slot pool; each admission bucket is shape-uniform (own compile)
-        pending: Dict[Any, deque] = {}
-        order: List[Any] = []
+        # greedy LPT balance: next request to the least-loaded replica
+        # (requests arrive longest-first, so this is the classic LPT bound)
+        parts: List[List[Request]] = [[] for _ in self.engines]
+        load = [0] * len(self.engines)
         for q in requests:
-            key = self._shape_key(q)
-            if key not in pending:
-                pending[key] = deque()
-                order.append(key)
-            pending[key].append(q)
-        n_pending = len(requests)
-        free: List[int] = list(range(self.n_slots))
-        occupant: Dict[int, Request] = {}
-        slot_art: Dict[int, Any] = {}  # keep_artifacts: per-slot VisionArtifacts
+            i = int(np.argmin(load))
+            parts[i].append(q)
+            load[i] += max(1, q.max_new_tokens)
+        t0 = time.perf_counter()
+        ctxs = [
+            eng.start_run(part, "fifo")  # already globally ordered
+            for eng, part in zip(self.engines, parts)
+        ]
+        live = lambda c: c.n_pending or c.occupant
+        while any(live(c) for c in ctxs):
+            dispatched = []
+            # phase 1: refill + dispatch on every live replica (async)
+            for eng, ctx in zip(self.engines, ctxs):
+                if not live(ctx):
+                    continue
+                eng._refill(ctx)
+                if ctx.occupant:
+                    eng._dispatch_chunk(ctx)
+                    dispatched.append((eng, ctx))
+            # phase 2: readbacks — every device is already computing
+            for eng, ctx in dispatched:
+                eng._sync_harvest(ctx)
         results: List[Completion] = []
         stats = ServeStats()
-        prev_n_gen = np.zeros(self.n_slots, np.int64)  # n_gen at last sync
-        # fresh step counter per run (state persists across runs)
-        self.state = self.state._replace(steps=jnp.zeros((), jnp.int32))
-        t_start = time.perf_counter()
-
-        def sync_flags():
-            # ONE dispatch + ONE readback per chunk (two np.asarray calls cost
-            # two ~40 ms host round-trips each on the axon backend)
-            both = np.asarray(self._flags(self.state))
-            n = self.n_slots
-            return both[:n].astype(bool), both[n : 2 * n], int(both[2 * n])
-
-        def admit(grp: deque, r: int):
-            nonlocal n_pending
-            take = [grp.popleft() for _ in range(min(r, len(grp)))]
-            n_pending -= len(take)
-            slots = [free.pop() for _ in range(r)]
-            stack, deltas, budgets = self._make_bucket(take, r)
-            t0 = time.perf_counter()
-            out = self._prefill(self.params, stack, deltas)
-            pack, art = out if self.keep_artifacts else (out, None)
-            self.state = self._insert(
-                self.state, pack, jnp.asarray(np.array(slots, np.int32)), jnp.asarray(budgets)
-            )
-            # no sync: dispatch stays async (the next chunk's flag readback
-            # orders everything); prefill_s is therefore dispatch-side time
-            # and the device-side cost lands in decode_s
-            stats.prefill_s += time.perf_counter() - t0
-            prev_n_gen[slots] = 0  # insert resets refilled slots' n_gen
-            for i, q in enumerate(take):
-                occupant[slots[i]] = q
-                if art is not None:
-                    # per-request artifact slice (device-side; leading dim 1)
-                    slot_art[slots[i]] = jax.tree.map(lambda x: x[i : i + 1], art)
-            # padding slots go straight back to the free list
-            for s in slots[len(take):]:
-                free.append(s)
-
-        while n_pending or occupant:
-            # ---- refill: full buckets first, then straggler (small) buckets
-            # so freed slots never idle waiting for a full bucket to form ----
-            progressed = True
-            while n_pending and progressed:
-                progressed = False
-                groups = sorted(pending.values(), key=len, reverse=True)
-                for grp in groups:
-                    if not grp:
-                        continue
-                    if len(free) >= self.prefill_bucket and len(grp) >= self.prefill_bucket:
-                        admit(grp, self.prefill_bucket)
-                        progressed = True
-                        break
-                    if len(free) >= self.prefill_bucket_small and (
-                        len(grp) < self.prefill_bucket or len(free) < self.prefill_bucket
-                    ):
-                        admit(grp, self.prefill_bucket_small)
-                        progressed = True
-                        break
-            if not occupant:
-                break
-            # ---- decode a chunk (budget-aware length) ----
-            # No active slot can finish before its remaining budget runs out
-            # (EOS can come earlier — the while_loop early-exits then), so run
-            # min(remaining) steps in ONE dispatch, bounded to
-            # [chunk_steps, max_chunk_steps]: long stretches sync ~4x less
-            # often, finishing slots still harvest promptly.
-            remaining = [
-                min(q.max_new_tokens, self.max_new_tokens) - int(prev_n_gen[s])
-                for s, q in occupant.items()
-            ]
-            chunk_n = int(np.clip(min(remaining), self.chunk_steps, self.max_chunk_steps))
-            t0 = time.perf_counter()
-            self.state = self._chunk(self.params, self.state, jnp.asarray(chunk_n, jnp.int32))
-            active, n_gen, steps_done = sync_flags()
-            stats.decode_s += time.perf_counter() - t0
-            # exact device-side counter: decode forwards actually executed
-            # (while_loop early-exits when the pool drains; in speculative
-            # mode each counted step is one K-token VERIFY forward)
-            stats.decode_steps = steps_done
-            prev_n_gen = n_gen.copy()
-            # ---- harvest finished slots ----
-            done = [s for s in occupant if not active[s]]
-            if done:
-                # device-side gathers COPY the rows, so slot reuse can't
-                # clobber them; they stay lazy (no tunnel readback) until the
-                # run finishes. The index vector is PADDED to n_slots so every
-                # harvest reuses one compiled gather.
-                idx = np.array(done + [done[0]] * (self.n_slots - len(done)), np.int32)
-                tok_rows = self._gather(self.state.tokens, idx)
-                hid_rows = self._gather(self.state.hidden_out, idx) if self.collect_hidden else None
-                for jd, s in enumerate(done):
-                    q = occupant.pop(s)
-                    ng = int(n_gen[s])
-                    results.append(
-                        Completion(
-                            uid=q.uid,
-                            tokens=tok_rows[jd],  # device row; trimmed below
-                            n_gen=ng,
-                            hidden=None if hid_rows is None else hid_rows[jd],
-                            artifacts=slot_art.pop(s, None),
-                        )
-                    )
-                    stats.generated_tokens += ng
-                    stats.completions += 1
-                    free.append(s)
-
-        # serving hands completions off device-resident (e.g. straight into
-        # vl_decode); the wall clock stops here and the host materialization
-        # below is for the Completion API's numpy contract
-        stats.wall_s = time.perf_counter() - t_start
-        if results:
-            all_tok = np.asarray(jnp.stack([c.tokens for c in results]))
-            for i, c in enumerate(results):
-                c.tokens = all_tok[i, : c.n_gen].copy()
+        for eng, ctx in zip(self.engines, ctxs):
+            r, s = eng._finish_run(ctx)
+            results.extend(r)
+            stats.generated_tokens += s.generated_tokens
+            stats.completions += s.completions
+            stats.prefill_s += s.prefill_s
+            stats.decode_s += s.decode_s
+            # replica slot-steps sum (utilization = useful/(sum over replicas))
+            stats.decode_steps += s.decode_steps * eng.n_slots
+        stats.wall_s = time.perf_counter() - t0
         if stats.decode_steps:
-            stats.slot_step_utilization = stats.generated_tokens / (
-                stats.decode_steps * self.n_slots
-            )
+            # decode_steps already slot-weighted above
+            stats.slot_step_utilization = stats.generated_tokens / stats.decode_steps
         return results, stats

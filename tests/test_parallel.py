@@ -8,14 +8,30 @@ import sys
 import pytest
 
 
+def _cpu_env(n_devices: int):
+    """Subprocess env that CANNOT touch the TPU tunnel: axon stripped from
+    PYTHONPATH (a hung tunnel blocks backend init even under
+    JAX_PLATFORM_NAME=cpu) + JAX_PLATFORMS=cpu + virtual CPU devices."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.pathsep.join(
+        [root] + [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                  if p and "axon" not in p]
+    )
+    return dict(
+        os.environ,
+        PYTHONPATH=pythonpath,
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=%d" % n_devices,
+    )
+
+
+
 @pytest.mark.parametrize("n", [8])
 @pytest.mark.smoke
 def test_dryrun_multichip(n):
-    env = dict(
-        os.environ,
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS=os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-    )
+    env = _cpu_env(8)
     code = (
         "import __graft_entry__ as g; g.dryrun_multichip(%d)" % n
     )
@@ -32,11 +48,7 @@ def test_dryrun_multichip(n):
 
 
 def test_sharded_generate_matches_single_device():
-    env = dict(
-        os.environ,
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS=os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-    )
+    env = _cpu_env(8)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, os.path.join(root, "tests", "multichip_check.py"), "check_sharded_generate"],

@@ -265,3 +265,34 @@ def test_run_stream_heterogeneous_auto_buckets():
     got = eng.run_stream(prompts, imgs, n_slots=2, prefill_bucket=1, chunk_steps=3, patch_bucket=128)
     ref = eng.run_batch(prompts, imgs, patch_bucket=128, prompt_bucket=384)
     assert [r.completion for r in got] == [r.completion for r in ref]
+
+
+@pytest.mark.smoke
+def test_multi_engine_matches_single():
+    """Data-parallel MultiEngine (one replica per device, LPT request
+    balancing, interleaved dispatch) must produce token-identical completions
+    to a single engine. Runs in a 2-virtual-CPU-device subprocess with the
+    axon plugin stripped so it cannot touch (or hang on) the TPU tunnel."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.pathsep.join(
+        [root] + [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                  if p and "axon" not in p]
+    )
+    env = dict(
+        os.environ,
+        PYTHONPATH=pythonpath,
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2",
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tests", "_multi_engine_child.py")],
+        env=env, cwd=root, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "MULTI_ENGINE_OK" in r.stdout, r.stdout[-2000:]
