@@ -239,7 +239,6 @@ def _decode_kernel_multi_stacked_fresh(
     limit is needed on the cache side."""
     q = q_ref[0, 0]  # (G*kq, hd) bf16
     gk, _ = q.shape
-    c = k8_ref.shape[3]
     k = k8_ref[0, 0, 0].astype(jnp.bfloat16)
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,

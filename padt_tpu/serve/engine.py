@@ -538,9 +538,10 @@ class ServeStats:
     prefill_s: float = 0.0
     decode_s: float = 0.0
     generated_tokens: int = 0
-    decode_steps: int = 0
+    decode_steps: int = 0  # device decode/verify forwards (summed over replicas)
     completions: int = 0
     slot_step_utilization: float = 0.0  # generated / (steps * slots)
+    slot_steps: int = 0  # decode_steps weighted by each replica's n_slots
 
     def tokens_per_sec(self) -> float:
         return self.generated_tokens / self.wall_s if self.wall_s > 0 else 0.0
@@ -900,32 +901,39 @@ class MultiEngine:
         elif schedule != "fifo":
             raise ValueError(f"unknown schedule {schedule!r}")
         # greedy LPT balance: next request to the least-loaded replica
-        # (requests arrive longest-first, so this is the classic LPT bound)
+        # (requests arrive longest-first, so this is the classic LPT bound).
+        # Weight by the CLAMPED budget — the engine caps every request at its
+        # own max_new_tokens, so an oversized request costs at most that.
         parts: List[List[Request]] = [[] for _ in self.engines]
         load = [0] * len(self.engines)
         for q in requests:
             i = int(np.argmin(load))
             parts[i].append(q)
-            load[i] += max(1, q.max_new_tokens)
+            load[i] += max(1, min(q.max_new_tokens, self.engines[i].max_new_tokens))
         t0 = time.perf_counter()
         ctxs = [
             eng.start_run(part, "fifo")  # already globally ordered
             for eng, part in zip(self.engines, parts)
         ]
         live = lambda c: c.n_pending or c.occupant
-        while any(live(c) for c in ctxs):
-            dispatched = []
-            # phase 1: refill + dispatch on every live replica (async)
-            for eng, ctx in zip(self.engines, ctxs):
-                if not live(ctx):
-                    continue
-                eng._refill(ctx)
-                if ctx.occupant:
-                    eng._dispatch_chunk(ctx)
-                    dispatched.append((eng, ctx))
-            # phase 2: readbacks — every device is already computing
-            for eng, ctx in dispatched:
-                eng._sync_harvest(ctx)
+        # Event loop: each replica is re-dispatched IMMEDIATELY after its own
+        # sync, so a replica never idles waiting for its peers' chunks (no
+        # cross-replica barrier); `outstanding` tracks in-flight dispatches.
+        outstanding: List[bool] = [False] * len(self.engines)
+        pairs = list(zip(self.engines, ctxs))
+        while any(outstanding) or any(live(c) for c in ctxs):
+            for i, (eng, ctx) in enumerate(pairs):
+                if outstanding[i]:
+                    eng._sync_harvest(ctx)
+                    outstanding[i] = False
+                if live(ctx):
+                    eng._refill(ctx)
+                    if ctx.occupant:
+                        eng._dispatch_chunk(ctx)
+                        outstanding[i] = True
+        # wall clock stops BEFORE host-side token materialization (same
+        # contract as ServeEngine.run: completions hand off device-resident)
+        wall_s = time.perf_counter() - t0
         results: List[Completion] = []
         stats = ServeStats()
         for eng, ctx in zip(self.engines, ctxs):
@@ -933,12 +941,14 @@ class MultiEngine:
             results.extend(r)
             stats.generated_tokens += s.generated_tokens
             stats.completions += s.completions
+            # per-replica prefill_s/decode_s are HOST-side windows that overlap
+            # across replicas under this interleaved loop — they bound, not
+            # partition, wall_s; per-device timing needs a profiler trace
             stats.prefill_s += s.prefill_s
             stats.decode_s += s.decode_s
-            # replica slot-steps sum (utilization = useful/(sum over replicas))
-            stats.decode_steps += s.decode_steps * eng.n_slots
-        stats.wall_s = time.perf_counter() - t0
-        if stats.decode_steps:
-            # decode_steps already slot-weighted above
-            stats.slot_step_utilization = stats.generated_tokens / stats.decode_steps
+            stats.decode_steps += s.decode_steps
+            stats.slot_steps += s.decode_steps * eng.n_slots
+        stats.wall_s = wall_s
+        if stats.slot_steps:
+            stats.slot_step_utilization = stats.generated_tokens / stats.slot_steps
         return results, stats
