@@ -8,6 +8,7 @@ from .engine import (  # noqa: F401
     Request,
     ServeEngine,
     ServeStats,
+    SharedPrefix,
     decode_chunk,
     init_state,
     insert,

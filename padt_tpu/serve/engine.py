@@ -261,24 +261,31 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
 
 
-def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_pos):
+def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_pos, active_mask=None):
     """K-token verify step for speculative decoding: same per-slot layout as
     `_decode_step_slots`, but K consecutive tokens are embedded, their KVs
     stored at store_pos..store_pos+K-1 (k-row aliased store), and attention
     runs all K queries over ONE cache read with per-query causal limits
-    (`decode_attention_int8_multi`). Returns hidden (B, K, D)."""
+    (`decode_attention_int8_multi`). Returns hidden (B, K, D).
+
+    `active_mask` (B,) selects which slots' new rows become valid; defaults to
+    `state.active` (the speculative-verify semantics). The prefix-cache suffix
+    prefill passes only its admitted slots so a pool-wide suffix pass can't
+    mark garbage rows valid in slots that are mid-decode."""
     from ..ops.kv_cache import decode_attention_int8_multi, store_kv_rows_k_all_layers
 
+    if active_mask is None:
+        active_mask = state.active
     b, kq, _ = inputs_embeds.shape
     pos3 = jnp.broadcast_to(state.text_pos[None, :, None], (3, b, kq)) + jnp.arange(kq)[None, None, :]
     cos, sin = mrope_cos_sin(pos3, tcfg.head_dim, tcfg.mrope_section, tcfg.rope_theta)
     rows = jnp.arange(b)
-    # activate the K new positions for ACTIVE slots (masked per position later
-    # by the per-query limit; rejected rows are invalidated by the caller)
+    # activate the K new positions for SELECTED slots (masked per position
+    # later by the per-query limit; rejected rows are invalidated by the caller)
     newly = (jnp.arange(state.valid.shape[1])[None, :] >= store_pos[:, None]) & (
         jnp.arange(state.valid.shape[1])[None, :] < store_pos[:, None] + kq
     )
-    new_valid = state.valid | (newly & state.active[:, None])
+    new_valid = state.valid | (newly & active_mask[:, None])
 
     nl = len(jax.tree.leaves(params["layers"])[0])
     k8a, ksa, v8a, vsa = state.k8, state.ks, state.v8, state.vs
@@ -310,6 +317,86 @@ def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_po
     )
     hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
+
+
+_SUFFIX_K = 32  # per-pass suffix width (= kv_cache._STORE_ROWS, the k-row store bound)
+
+
+def _suffix_prefill_step(params, cfg: PaDTConfig, state: DecodeState, inputs, slen):
+    """One K=32 suffix-prefill pass over the slot pool (prefix KV caching).
+
+    Slots admitted with a cached shared prefix (see `SharedPrefix`) already
+    hold the prefix KV (spliced by `insert`); this pass runs their per-request
+    suffix tokens — RIGHT-padded to K — through the same multi-query machinery
+    as the speculative verify step: suffix queries attend the prefix cache
+    plus intra-suffix causal fresh columns, one aliased k-row store lands the
+    new KV rows. Only the real `slen` rows become/stay valid; `cur_hidden`
+    advances to the LAST REAL suffix token's post-norm hidden (the position
+    that predicts the first generated token, matching full-prompt prefill).
+
+    `inputs` (B, K) int32 — pad-token rows for slots not in this admission
+    (slen == 0): their attention outputs are discarded and their row stores
+    land at rows >= write_pos that are invalid by the pool invariant
+    (valid ⊆ [0, write_pos)) and rewritten before any read.
+    """
+    kq = inputs.shape[1]
+    mask = slen > 0
+    emb = padt_model.extended_embed(params, cfg, inputs, state.proto)
+    cap = state.valid.shape[1]
+    store_pos = jnp.minimum(state.write_pos, cap - kq)
+    hid, st2 = _decode_spec_slots(
+        params["text"], cfg.text, emb, state, store_pos, active_mask=mask
+    )
+    # un-validate the right-pad rows: keep [0, write_pos) ∪ [store_pos, store_pos+slen)
+    posc = jnp.arange(cap)[None, :]
+    keep = (posc < store_pos[:, None] + slen[:, None]) | (posc < state.write_pos[:, None])
+    valid = st2.valid & keep
+    # hidden of the last real suffix token predicts the first generated token
+    new_cur = jnp.take_along_axis(
+        hid, jnp.clip(slen - 1, 0, kq - 1)[:, None, None], axis=1
+    )
+    cur_hidden = jnp.where(mask[:, None, None], new_cur, st2.cur_hidden)
+    # append real suffix tokens to the draft context
+    b = inputs.shape[0]
+    idxk = jnp.arange(kq)[None, :]
+    rowsk = jnp.arange(b)[:, None]
+    ctx_idx = jnp.clip(st2.ctx_len[:, None] + idxk, 0, cap - 1)
+    emit = idxk < slen[:, None]
+    cur_ctx = st2.ctx[rowsk, ctx_idx]
+    ctx = st2.ctx.at[rowsk, ctx_idx].set(jnp.where(emit, inputs, cur_ctx))
+    return st2._replace(
+        valid=valid,
+        cur_hidden=cur_hidden,
+        ctx=ctx,
+        ctx_len=st2.ctx_len + slen,
+        write_pos=st2.write_pos + slen,
+        text_pos=st2.text_pos + slen,
+    )
+
+
+_PACK_KV = ("k8", "ks", "v8", "vs")  # PrefillPack leaves with batch at axis 1
+
+
+def _pack_slice(pack: PrefillPack, i: int) -> PrefillPack:
+    """Row i of a pack as a leading-dim-1 pack (device-side lazy slices)."""
+    return PrefillPack(
+        **{
+            f: (getattr(pack, f)[:, i : i + 1] if f in _PACK_KV else getattr(pack, f)[i : i + 1])
+            for f in PrefillPack._fields
+        }
+    )
+
+
+def _pack_concat(rows: List[PrefillPack]) -> PrefillPack:
+    """Stack R single-row packs into one insertable R-row pack."""
+    return PrefillPack(
+        **{
+            f: jnp.concatenate(
+                [getattr(p, f) for p in rows], axis=1 if f in _PACK_KV else 0
+            )
+            for f in PrefillPack._fields
+        }
+    )
 
 
 def _bigram_draft(ctx, ctx_len, last2, last1, t0, kq):
@@ -513,14 +600,46 @@ def decode_chunk(
 # ---------------------------------------------------------------------------
 
 @dataclass
-class Request:
-    """A preprocessed single request. `batch` leaves have leading dim 1 and the
-    same bucket shapes for every request handed to one engine."""
+class SharedPrefix:
+    """A shareable prompt prefix (system preamble + image), prefilled once per
+    `key` and KV-spliced into every slot that references it.
 
+    PaDT eval workloads are prefix-heavy by construction: RefCOCO sends
+    several referring expressions against the SAME image
+    (`/root/reference/eval/evaluation_scripts/inference_refcoco.py` groups by
+    image), and the image occupies ~85-95% of the prompt (vision tower +
+    prefill over hundreds of patch tokens) while the per-request query is a
+    handful of text tokens. The reference re-prefills the full prompt every
+    time; caching the prefix KV skips the vision tower AND the prefix prefill
+    for every repeat.
+
+    `batch` is a leading-dim-1 processor batch whose prompt TEXT ends exactly
+    at the template's vision boundary (`<|vision_end|>` — see
+    `VisionTextProcessor.build_prefix_batch`); `rope_delta` is that batch's
+    M-RoPE delta. Requests carry their remaining tokens in `suffix_ids`."""
+
+    key: Any
     batch: Dict[str, np.ndarray]
     rope_delta: int
-    max_new_tokens: int
+
+
+@dataclass
+class Request:
+    """A preprocessed single request. `batch` leaves have leading dim 1 and the
+    same bucket shapes for every request handed to one engine.
+
+    Prefix-cached form: `prefix` + `suffix_ids` instead of `batch` — the
+    engine prefills `prefix.batch` once per `prefix.key` (LRU-cached KV) and
+    runs only `suffix_ids` (the query text; <= engine.suffix_bucket tokens)
+    per request. Greedy outputs are token-identical to the full-prompt path
+    up to KV quantization (the suffix pass reads the int8 prefix cache)."""
+
+    batch: Optional[Dict[str, np.ndarray]] = None
+    rope_delta: int = 0
+    max_new_tokens: int = 0
     uid: Any = None
+    prefix: Optional[SharedPrefix] = None
+    suffix_ids: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -542,6 +661,9 @@ class ServeStats:
     completions: int = 0
     slot_step_utilization: float = 0.0  # generated / (steps * slots)
     slot_steps: int = 0  # decode_steps weighted by each replica's n_slots
+    prefix_hits: int = 0  # prefix-cached requests whose prefix KV was reused
+    prefix_misses: int = 0  # prefix prefills actually computed
+    prefill_tokens_saved: int = 0  # sum of reused prefixes' real prompt tokens
 
     def tokens_per_sec(self) -> float:
         return self.generated_tokens / self.wall_s if self.wall_s > 0 else 0.0
@@ -580,6 +702,8 @@ class ServeEngine:
         speculative: int = 0,
         oracle_draft_seq=None,  # benchmark-only: see decode_chunk_spec
         force_accept: bool = False,  # benchmark-only: K-accept ceiling timing
+        suffix_bucket: int = _SUFFIX_K,  # prefix-cached requests' max suffix length
+        prefix_cache_entries: int = 8,  # device-resident prefix-KV LRU size
     ):
         self.params = params
         self.cfg = cfg
@@ -649,12 +773,32 @@ class ServeEngine:
             )
         )
         self._gather = jax.jit(lambda arr, idx: arr[idx])  # idx always (n_slots,)
+        # prefix KV caching: suffix passes run in fixed K=32 chunks (the k-row
+        # store bound); one compile serves every admission
+        if suffix_bucket % _SUFFIX_K:
+            raise ValueError(f"suffix_bucket must be a multiple of {_SUFFIX_K}")
+        self.suffix_bucket = suffix_bucket
+        self.prefix_cache_entries = prefix_cache_entries
+        self._prefix_cache: Dict[Any, Tuple[PrefillPack, Any, int]] = {}  # insertion-ordered LRU
+        self._suffix = jax.jit(
+            lambda p, st, ids, sl: _suffix_prefill_step(p, c, st, ids, sl),
+            donate_argnums=(1,),
+        )
 
     @staticmethod
     def _shape_key(req: Request):
         """Requests with equal leaf shapes share prefill compiles; requests
         with DIFFERENT prompt/patch buckets are admitted in separate buckets
-        (heterogeneous-workload support)."""
+        (heterogeneous-workload support). Prefix-cached requests group by
+        their PREFIX batch shapes (suffixes share the engine-wide bucket)."""
+        if req.prefix is not None:
+            if req.suffix_ids is None or len(req.suffix_ids) == 0:
+                raise ValueError("prefix-cached requests need non-empty suffix_ids")
+            return ("pfx",) + tuple(
+                sorted((k, tuple(np.shape(v))) for k, v in req.prefix.batch.items())
+            )
+        if req.batch is None:
+            raise ValueError("request needs either batch or prefix+suffix_ids")
         return tuple(sorted((k, tuple(np.shape(v))) for k, v in req.batch.items()))
 
     def _make_bucket(
@@ -742,6 +886,116 @@ class ServeEngine:
         for s in slots[len(take):]:
             ctx.free.append(s)
 
+    def _admit_prefix(self, ctx, grp: deque, r: int):
+        """Admit r prefix-cached requests: prefill only the UNCACHED prefixes
+        (one batched call), splice each request's cached prefix KV into its
+        slot, then run all suffixes through the pool-wide K=32 suffix pass."""
+        take = [grp.popleft() for _ in range(min(r, len(grp)))]
+        ctx.n_pending -= len(take)
+        for q in take:
+            lp = q.prefix.batch["input_ids"].shape[1]
+            s = len(q.suffix_ids)
+            if s > self.suffix_bucket:
+                raise ValueError(f"suffix length {s} exceeds suffix_bucket {self.suffix_bucket}")
+            need = (
+                lp
+                + -(-s // _SUFFIX_K) * _SUFFIX_K
+                + min(q.max_new_tokens, self.max_new_tokens)
+                + self.speculative
+            )
+            if need > self.capacity:
+                raise ValueError(
+                    f"prefix {lp} + suffix {s} + budget does not fit capacity "
+                    f"{self.capacity} (need {need}); raise prompt_len"
+                )
+        slots = [ctx.free.pop() for _ in range(r)]
+        t0 = time.perf_counter()
+        # 1) prefill uncached prefixes, batched and padded to an engine bucket
+        uniq, seen = [], set()
+        for q in take:
+            if q.prefix.key not in self._prefix_cache and q.prefix.key not in seen:
+                uniq.append(q.prefix)
+                seen.add(q.prefix.key)
+        if uniq:
+            ru = (
+                self.prefill_bucket_small
+                if len(uniq) <= self.prefill_bucket_small
+                else self.prefill_bucket
+            )
+            pad = ru - len(uniq)
+            # jnp.concatenate: device-resident prefix leaves stay on device
+            # (same trap as _make_bucket — np here would pull pixels through
+            # the host link on every unique-prefix admission)
+            stack = {
+                k: jnp.concatenate(
+                    [jnp.asarray(p.batch[k]) for p in uniq]
+                    + [jnp.asarray(uniq[0].batch[k])] * pad,
+                    axis=1 if k == "position_ids" else 0,
+                )
+                for k in uniq[0].batch
+            }
+            deltas = jnp.asarray(np.array([p.rope_delta for p in uniq] + [0] * pad, np.int32))
+            out = self._prefill(self.params, stack, deltas)
+            pack, art = out if self.keep_artifacts else (out, None)
+            for i, p in enumerate(uniq):
+                plen = int(np.sum(p.batch["attention_mask"]))
+                arow = None if art is None else jax.tree.map(lambda x: x[i : i + 1], art)
+                self._prefix_cache[p.key] = (_pack_slice(pack, i), arow, plen)
+        # per-request entries, popped+reinserted = LRU recency; the local list
+        # keeps this admission's buffers alive across the trim below
+        entries = []
+        for q in take:
+            e = self._prefix_cache.pop(q.prefix.key)
+            self._prefix_cache[q.prefix.key] = e
+            entries.append(e)
+        while len(self._prefix_cache) > self.prefix_cache_entries:
+            self._prefix_cache.pop(next(iter(self._prefix_cache)))
+        ctx.stats.prefix_misses += len(uniq)
+        ctx.stats.prefix_hits += len(take) - len(uniq)
+        # the first occurrence of each missed key paid its prefill; every other
+        # request in `take` reused a cached prefix of e[2] real prompt tokens
+        paying = {p.key for p in uniq}
+        for q, e in zip(take, entries):
+            if q.prefix.key in paying:
+                paying.discard(q.prefix.key)
+            else:
+                ctx.stats.prefill_tokens_saved += e[2]
+        # 2) splice prefix KV into the slots
+        rows = [e[0] for e in entries] + [entries[0][0]] * (r - len(take))
+        pack = _pack_concat(rows)
+        budgets = np.array(
+            [min(q.max_new_tokens, self.max_new_tokens) for q in take] + [0] * (r - len(take)),
+            np.int32,
+        )
+        self.state = self._insert(
+            self.state, pack, jnp.asarray(np.array(slots, np.int32)), jnp.asarray(budgets)
+        )
+        # 3) suffix passes over the pool (other slots' rows are untouched —
+        # see _suffix_prefill_step's non-participant contract)
+        sfx = np.full((self.n_slots, self.suffix_bucket), self.cfg.pad_token_id, np.int32)
+        slen = np.zeros(self.n_slots, np.int32)
+        for i, q in enumerate(take):
+            ids = np.asarray(q.suffix_ids, np.int32).reshape(-1)
+            sfx[slots[i], : len(ids)] = ids
+            slen[slots[i]] = len(ids)
+        for c0 in range(0, self.suffix_bucket, _SUFFIX_K):
+            if not np.any(slen - c0 > 0):
+                break
+            self.state = self._suffix(
+                self.params,
+                self.state,
+                jnp.asarray(sfx[:, c0 : c0 + _SUFFIX_K]),
+                jnp.asarray(np.clip(slen - c0, 0, _SUFFIX_K)),
+            )
+        ctx.stats.prefill_s += time.perf_counter() - t0
+        ctx.prev_n_gen[slots] = 0
+        for i, q in enumerate(take):
+            ctx.occupant[slots[i]] = q
+            if entries[i][1] is not None:
+                ctx.slot_art[slots[i]] = entries[i][1]
+        for s in slots[len(take) :]:
+            ctx.free.append(s)
+
     def _refill(self, ctx):
         """Admit pending requests: full buckets first, then straggler (small)
         buckets so freed slots never idle waiting for a full bucket to form."""
@@ -752,14 +1006,15 @@ class ServeEngine:
             for grp in groups:
                 if not grp:
                     continue
+                admit = self._admit_prefix if grp[0].prefix is not None else self._admit
                 if len(ctx.free) >= self.prefill_bucket and len(grp) >= self.prefill_bucket:
-                    self._admit(ctx, grp, self.prefill_bucket)
+                    admit(ctx, grp, self.prefill_bucket)
                     progressed = True
                     break
                 if len(ctx.free) >= self.prefill_bucket_small and (
                     len(grp) < self.prefill_bucket or len(ctx.free) < self.prefill_bucket
                 ):
-                    self._admit(ctx, grp, self.prefill_bucket_small)
+                    admit(ctx, grp, self.prefill_bucket_small)
                     progressed = True
                     break
 
@@ -906,8 +1161,15 @@ class MultiEngine:
         # own max_new_tokens, so an oversized request costs at most that.
         parts: List[List[Request]] = [[] for _ in self.engines]
         load = [0] * len(self.engines)
+        pinned: Dict[Any, int] = {}  # prefix key -> replica (KV-cache affinity)
         for q in requests:
-            i = int(np.argmin(load))
+            key = None if q.prefix is None else q.prefix.key
+            if key is not None and key in pinned:
+                i = pinned[key]  # reuse beats balance: a re-prefill costs more
+            else:
+                i = int(np.argmin(load))
+                if key is not None:
+                    pinned[key] = i
             parts[i].append(q)
             load[i] += max(1, min(q.max_new_tokens, self.engines[i].max_new_tokens))
         t0 = time.perf_counter()
@@ -948,6 +1210,9 @@ class MultiEngine:
             stats.decode_s += s.decode_s
             stats.decode_steps += s.decode_steps
             stats.slot_steps += s.decode_steps * eng.n_slots
+            stats.prefix_hits += s.prefix_hits
+            stats.prefix_misses += s.prefix_misses
+            stats.prefill_tokens_saved += s.prefill_tokens_saved
         stats.wall_s = wall_s
         if stats.slot_steps:
             stats.slot_step_utilization = stats.generated_tokens / stats.slot_steps

@@ -133,6 +133,41 @@ class VisionTextProcessor:
         return self.tokenizer.batch_decode([[int(i)] for i in ids])
 
     # ------------------------------------------------------------------
+    # prefix/suffix splitting (serve-engine prefix KV caching)
+    # ------------------------------------------------------------------
+    def build_prefix_batch(
+        self,
+        image,
+        prefix_bucket: Optional[int] = None,
+        patch_bucket: Optional[int] = None,
+        is_video: bool = False,
+    ) -> Batch:
+        """The SHARED part of every prompt over `image`: the chat template up
+        to and including `<|vision_end|>` (system preamble + expanded image
+        pads), as a leading-dim-1 model batch. Splitting here is tokenization-
+        safe: `<|vision_end|>` is a special token, so BPE never merges across
+        the boundary and encode(prefix) + encode(suffix) == encode(full) —
+        asserted in tests/test_serve.py. Pair with `build_suffix_ids` and
+        `serve.SharedPrefix` for prefix-KV-cached serving."""
+        head, _tail = CHAT_TEMPLATE.split("{content}")
+        vis = VIDEO_CONTENT if is_video else IMAGE_CONTENT
+        return self.build_batch(
+            [head + vis],
+            [image],
+            prompt_bucket=prefix_bucket,
+            patch_bucket=patch_bucket,
+            apply_template=False,
+        )
+
+    def build_suffix_ids(self, prompt: str) -> List[int]:
+        """The PER-REQUEST remainder of a templated prompt: the user's text
+        plus the template tail (`<|im_end|>\\n<|im_start|>assistant\\n`).
+        Concatenating a `build_prefix_batch` prompt with these ids reproduces
+        `build_batch([prompt], [image])`'s token stream exactly."""
+        _head, tail = CHAT_TEMPLATE.split("{content}")
+        return self.encode(prompt + tail)
+
+    # ------------------------------------------------------------------
     # batch building
     # ------------------------------------------------------------------
     def build_batch(

@@ -157,22 +157,56 @@ def main():
         oracle_seq = np.full((max_new,), cfg.pad_token_id, np.int64)
         oracle_seq[: pres[0].n_gen] = pres[0].tokens
         del probe_eng  # free its slot pool before the measured engine builds
+    # prefix-KV-cache mode: PADT_SERVE_PREFIX=<n_unique_images> serves the
+    # request mix over that many distinct prefix keys (RefCOCO-style reuse —
+    # several referring expressions per image). Each unique key pays one
+    # prefix prefill; every repeat runs only its suffix tokens.
+    prefix_n = int(os.environ.get("PADT_SERVE_PREFIX", "0"))
+    shared_prefixes = None
+    suffix_ids = None
+    if prefix_n:
+        from padt_tpu.serve import SharedPrefix
+
+        psample, pdelta, _plen = _build_sample(cfg, w["grid"], 0)
+        psample = {k: jnp.asarray(v, jnp.bfloat16 if k == "pixel_patches" else None)
+                   for k, v in psample.items()}
+        jax.block_until_ready(list(psample.values()))
+        shared_prefixes = [
+            SharedPrefix(key=j, batch=psample, rope_delta=pdelta) for j in range(prefix_n)
+        ]
+        suffix_ids = np.arange(1000, 1000 + w["prompt_extra"], dtype=np.int32)
     eng = ServeEngine(
         params, cfg, n_slots=w["n_slots"], max_new_tokens=max_new,
         prompt_len=prompt_len, prefill_bucket=w["bucket"],
         chunk_steps=w["chunk_steps"], patch_bucket=cfg.max_image_patches,
         speculative=spec, oracle_draft_seq=oracle_seq,
         force_accept=os.environ.get("PADT_SERVE_SPEC_FORCE", "0") == "1",
+        suffix_bucket=-(-w["prompt_extra"] // 32) * 32 if prefix_n else 32,
+        prefix_cache_entries=int(os.environ.get("PADT_SERVE_PREFIX_ENTRIES", "16")),
     )
-    reqs = [
-        Request(batch=sample, rope_delta=delta, max_new_tokens=budgets[i], uid=i)
-        for i in range(w["n_requests"])
-    ]
+    if prefix_n:
+        reqs = [
+            Request(prefix=shared_prefixes[i % prefix_n], suffix_ids=suffix_ids,
+                    max_new_tokens=budgets[i], uid=i)
+            for i in range(w["n_requests"])
+        ]
+    else:
+        reqs = [
+            Request(batch=sample, rope_delta=delta, max_new_tokens=budgets[i], uid=i)
+            for i in range(w["n_requests"])
+        ]
     # warm the compiles outside the timed run (prefill/insert/chunk, both
     # admission bucket sizes)
-    warm = [Request(batch=sample, rope_delta=delta, max_new_tokens=1, uid=-1 - i)
-            for i in range(w["bucket"] + eng.prefill_bucket_small)]
-    eng.run(warm)
+    if prefix_n:
+        warm = [Request(prefix=SharedPrefix(key=-1 - i, batch=psample, rope_delta=pdelta),
+                        suffix_ids=suffix_ids, max_new_tokens=1, uid=-1 - i)
+                for i in range(w["bucket"] + eng.prefill_bucket_small)]
+        eng.run(warm)
+        eng._prefix_cache.clear()  # the measured run pays its own misses
+    else:
+        warm = [Request(batch=sample, rope_delta=delta, max_new_tokens=1, uid=-1 - i)
+                for i in range(w["bucket"] + eng.prefill_bucket_small)]
+        eng.run(warm)
     # longest-first admission (task type predicts completion length in PaDT);
     # PADT_SERVE_SCHED=fifo for arrival order
     sched = os.environ.get("PADT_SERVE_SCHED", "longest_first")
@@ -240,6 +274,10 @@ def main():
             "schedule": sched,
             "fifo_tokens_per_sec": round(fifo_tps, 2) if fifo_tps else None,
             "naive_tokens_per_sec": round(naive_tps, 2) if naive_tps else None,
+            "prefix_unique_images": prefix_n or None,
+            "prefix_hits": stats.prefix_hits if prefix_n else None,
+            "prefix_misses": stats.prefix_misses if prefix_n else None,
+            "prefill_tokens_saved": stats.prefill_tokens_saved if prefix_n else None,
             "backend": jax.default_backend(),
         },
     }

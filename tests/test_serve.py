@@ -296,3 +296,91 @@ def test_multi_engine_matches_single():
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
     assert "MULTI_ENGINE_OK" in r.stdout, r.stdout[-2000:]
+
+
+@pytest.mark.smoke
+def test_prefix_cache_matches_full_prefill():
+    """Prefix KV caching (SharedPrefix + suffix_ids) must produce the same
+    completions as full-prompt prefill for every request. 6 requests over 2
+    unique images through a small recycling pool: the first occurrence of each
+    image pays one prefix prefill, every other request reuses the cached
+    prefix KV and runs only its ~25-token suffix. Exercises pool-wide suffix
+    passes over slots that are mid-decode (chunk 2, bucket 1)."""
+    from padt_tpu.serve import SharedPrefix
+
+    cfg = padt_tiny()
+    tok = make_tiny_tokenizer(cfg)
+    proc = VisionTextProcessor(tok, cfg, seq_bucket=32, patch_bucket=128)
+    proc.prepare(cfg.text.vocab_size)
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(5)
+    imgs = [ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12)) for _ in range(2)]
+    prompts = ["detect the cat", "find a dog", "locate it", "what is here", "segment it", "find a car"]
+    img_of = [0, 0, 1, 0, 1, 1]  # reuse factor 3 per image
+    budgets = [4, 9, 3, 8, 6, 5]
+
+    # full-prompt requests (the parity baseline — itself generate()-parity-tested)
+    full = [
+        proc.build_batch([p], [imgs[img_of[i]]], prompt_bucket=128, patch_bucket=128)
+        for i, p in enumerate(prompts)
+    ]
+    # prefix/suffix split of the SAME prompts
+    pb = [proc.build_prefix_batch(imgs[j], prefix_bucket=96, patch_bucket=128) for j in range(2)]
+    prefixes = [SharedPrefix(key=j, batch=pb[j].data, rope_delta=int(pb[j].rope_deltas[0])) for j in range(2)]
+    suffixes = [np.asarray(proc.build_suffix_ids(p), np.int32) for p in prompts]
+
+    # tokenization-boundary safety: prefix tokens + suffix tokens == full tokens
+    for i in range(len(prompts)):
+        fb = full[i].data
+        real_full = fb["input_ids"][0][fb["attention_mask"][0].astype(bool)]
+        pfb = prefixes[img_of[i]].batch
+        real_pfx = pfb["input_ids"][0][pfb["attention_mask"][0].astype(bool)]
+        np.testing.assert_array_equal(
+            real_full, np.concatenate([real_pfx, suffixes[i]]),
+            err_msg=f"req {i}: prefix+suffix tokenization diverged from full prompt",
+        )
+        assert 1 <= len(suffixes[i]) <= 32
+
+    def make_engine():
+        return ServeEngine(
+            params, cfg, n_slots=3, max_new_tokens=12, prompt_len=128,
+            prefill_bucket=2, prefill_bucket_small=1, chunk_steps=2,
+            patch_bucket=128, collect_hidden=True,
+        )
+
+    eng_full = make_engine()
+    res_full, _ = eng_full.run([
+        Request(batch=b.data, rope_delta=int(b.rope_deltas[0]), max_new_tokens=bud, uid=i)
+        for i, (b, bud) in enumerate(zip(full, budgets))
+    ])
+    eng_pfx = make_engine()
+    reqs_pfx = [
+        Request(prefix=prefixes[img_of[i]], suffix_ids=suffixes[i],
+                max_new_tokens=budgets[i], uid=i)
+        for i in range(len(prompts))
+    ]
+    res_pfx, stats = eng_pfx.run(reqs_pfx)
+
+    by_full = {c.uid: c for c in res_full}
+    by_pfx = {c.uid: c for c in res_pfx}
+    assert stats.completions == len(prompts)
+    for i in range(len(prompts)):
+        f, p = by_full[i], by_pfx[i]
+        assert p.n_gen == f.n_gen, f"req {i}: n_gen {p.n_gen} != {f.n_gen}"
+        np.testing.assert_array_equal(p.tokens, f.tokens, err_msg=f"req {i} tokens diverged")
+        hf = np.asarray(f.hidden, np.float32)[: f.n_gen]
+        hp = np.asarray(p.hidden, np.float32)[: p.n_gen]
+        np.testing.assert_allclose(hp, hf, rtol=2e-2, atol=2e-2)
+
+    # cache economics: 2 misses (one per unique image), 4 hits
+    assert stats.prefix_misses == 2
+    assert stats.prefix_hits == 4
+    plen = int(np.sum(prefixes[0].batch["attention_mask"]))
+    assert stats.prefill_tokens_saved == 4 * plen
+
+    # cache persists across runs: a second pass over the same images is all hits
+    res2, stats2 = eng_pfx.run(reqs_pfx)
+    assert stats2.prefix_misses == 0 and stats2.prefix_hits == len(prompts)
+    by2 = {c.uid: c for c in res2}
+    for i in range(len(prompts)):
+        np.testing.assert_array_equal(by2[i].tokens, by_pfx[i].tokens)
