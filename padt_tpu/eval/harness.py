@@ -67,6 +67,27 @@ class InferenceEngine:
         self.compute_mask = compute_mask
         self._gen_cache: Dict[Tuple, Any] = {}
         self._dec_cache = None
+        self._serve_cache: Dict[Tuple, Any] = {}
+
+    def _serve_engine(self, **kw):
+        """ServeEngine instances jit their prefill/decode closures per
+        instance (1-8 min per compile on the remote compile server), so
+        dataset eval MUST reuse one engine across chunks. Keyed by the full
+        constructor-arg tuple; capped at 2 live engines (each holds an
+        n_slots x capacity KV state in HBM), oldest evicted."""
+        key = tuple(sorted(kw.items()))
+        eng = self._serve_cache.get(key)
+        if eng is None:
+            from ..serve import ServeEngine
+
+            while len(self._serve_cache) >= 2:
+                self._serve_cache.pop(next(iter(self._serve_cache)))
+            eng = ServeEngine(
+                self.params, self.cfg, max_new_tokens=self.max_new_tokens,
+                collect_hidden=True, keep_artifacts=True, **kw,
+            )
+            self._serve_cache[key] = eng
+        return eng
 
     def _generate_fn(self, key):
         if key not in self._gen_cache:
@@ -135,13 +156,28 @@ class InferenceEngine:
         chunk_steps: int = 8,
         prompt_bucket: Optional[int] = None,
         patch_bucket: Optional[int] = None,
+        share_prefix: bool = False,
+        prefix_cache_entries: int = 8,
+        suffix_bucket: Optional[int] = None,
+        prefix_keys: Optional[List[Any]] = None,
     ) -> List[SampleResult]:
         """`run_batch` semantics through the continuous-batching serve engine
         (`padt_tpu.serve`): requests flow through a slot-recycled decode pool
         (EOS frees a slot immediately instead of idling until the batch's
         longest completion), then the standard parse -> vl_decode tail runs on
-        the device-resident hidden states + per-request vision artifacts."""
-        from ..serve import Request, ServeEngine
+        the device-resident hidden states + per-request vision artifacts.
+
+        `share_prefix=True`: prompts over the SAME image (identity of the
+        image object, or `prefix_keys[i]` when given — pass stable keys such
+        as file paths when calling in a loop, since `id()` of freed objects
+        is reused across chunks and the engine's prefix-KV LRU persists on
+        the cached engine) share one prefix prefill via the engine's prefix
+        KV cache; each request runs only its query-text suffix. Token-identical to the full-prompt path up to int8 KV
+        rounding (tests/test_serve.py::test_prefix_cache_matches_full_prefill).
+        Prompts whose suffix exceeds `suffix_bucket` (default 128) tokens fall
+        back to full prefill. Pin `suffix_bucket`/`prompt_bucket` when calling
+        in a loop so chunks reuse one cached engine (no per-chunk recompile)."""
+        from ..serve import Request, SharedPrefix
 
         cfg, proc = self.cfg, self.processor
         from ..preprocess.vision_process import ProcessedImage
@@ -155,6 +191,89 @@ class InferenceEngine:
                 else:
                     image_sizes.append(img.size)
         pb = patch_bucket or cfg.max_image_patches
+        host = lambda d: {
+            k: np.asarray(v).astype(jnp.bfloat16) if k == "pixel_patches" else np.asarray(v)
+            for k, v in d.items()
+        }
+        if share_prefix:
+            sfx = [np.asarray(proc.build_suffix_ids(p), np.int32) for p in prompts]
+            smax = suffix_bucket or 128
+            shared = [i for i in range(len(prompts)) if 1 <= len(sfx[i]) <= smax]
+            sbucket = suffix_bucket or (
+                -(-max([len(sfx[i]) for i in shared] or [32]) // 32) * 32
+            )
+            # one prefix per unique image OBJECT; prefix lengths collapse to
+            # <=3 distinct 128-multiple buckets (same compile-count policy as
+            # the heterogeneous full-prompt path below)
+            pkey = (
+                (lambda i: prefix_keys[i]) if prefix_keys is not None
+                else (lambda i: id(images[i]))
+            )
+            nat: Dict[Any, Any] = {}
+            for i in shared:
+                k = pkey(i)
+                if k not in nat:
+                    nat[k] = (images[i], proc.build_prefix_batch(images[i], patch_bucket=pb))
+            lens = sorted({b.data["input_ids"].shape[1] for _, b in nat.values()} or {128})
+            if prompt_bucket is not None:
+                # pinned single prefix bucket: stable engine shapes across
+                # chunked dataset eval; longer prefixes fall back below
+                ups = [prompt_bucket]
+                shared = [i for i in shared if nat[pkey(i)][1].data["input_ids"].shape[1] <= prompt_bucket]
+            else:
+                ups = sorted({-(-l // 128) * 128 for l in lens})
+                if len(ups) > 3:
+                    ups = sorted({ups[0], ups[len(ups) // 2], ups[-1]})
+            pick = lambda l: next(u for u in ups if u >= l)
+            prefixes: Dict[int, Any] = {}
+            for k, (img, b) in nat.items():
+                if b.data["input_ids"].shape[1] > ups[-1]:
+                    continue  # oversize prefix: request falls back to full prefill
+                want = pick(b.data["input_ids"].shape[1])
+                if want != b.data["input_ids"].shape[1]:
+                    b = proc.build_prefix_batch(img, prefix_bucket=want, patch_bucket=pb)
+                prefixes[k] = SharedPrefix(
+                    key=k, batch=host(b.data), rope_delta=int(b.rope_deltas[0])
+                )
+            shared_set = set(shared)
+            reqs = []
+            for i in range(len(prompts)):
+                if i in shared_set:
+                    reqs.append(
+                        Request(
+                            prefix=prefixes[pkey(i)], suffix_ids=sfx[i],
+                            max_new_tokens=self.max_new_tokens, uid=i,
+                        )
+                    )
+                else:  # oversize suffix: full-prompt fallback (rare)
+                    fb = proc.build_batch([prompts[i]], [images[i]], patch_bucket=pb)
+                    l = fb.data["input_ids"].shape[1]
+                    if l % 128:
+                        fb = proc.build_batch(
+                            [prompts[i]], [images[i]], patch_bucket=pb,
+                            prompt_bucket=-(-l // 128) * 128,
+                        )
+                    reqs.append(
+                        Request(
+                            batch=host(fb.data), rope_delta=int(fb.rope_deltas[0]),
+                            max_new_tokens=self.max_new_tokens, uid=i,
+                        )
+                    )
+            # adjacent same-image admission maximizes prefix-LRU hits
+            reqs.sort(key=lambda q: (q.prefix is None, q.prefix.key if q.prefix else 0))
+            fb_max = max(
+                (q.batch["input_ids"].shape[1] for q in reqs if q.batch is not None),
+                default=0,
+            )
+            prompt_len = max(ups[-1] + sbucket, fb_max)
+            eng = self._serve_engine(
+                n_slots=min(n_slots, len(reqs)), prompt_len=prompt_len,
+                prefill_bucket=prefill_bucket, chunk_steps=chunk_steps,
+                patch_bucket=pb, suffix_bucket=sbucket,
+                prefix_cache_entries=prefix_cache_entries,
+            )
+            comps, _ = eng.run(reqs)
+            return self._stream_tail(comps, image_sizes)
         batches = [
             proc.build_batch([p], [img], patch_bucket=pb, prompt_bucket=prompt_bucket)
             for p, img in zip(prompts, images)
@@ -195,13 +314,18 @@ class InferenceEngine:
             )
             for i, b in enumerate(batches)
         ]
-        eng = ServeEngine(
-            self.params, cfg, n_slots=min(n_slots, len(reqs)),
-            max_new_tokens=self.max_new_tokens, prompt_len=prompt_bucket,
+        eng = self._serve_engine(
+            n_slots=min(n_slots, len(reqs)), prompt_len=prompt_bucket,
             prefill_bucket=prefill_bucket, chunk_steps=chunk_steps,
-            collect_hidden=True, patch_bucket=pb, keep_artifacts=True,
+            patch_bucket=pb,
         )
         comps, _ = eng.run(reqs)
+        return self._stream_tail(comps, image_sizes)
+
+    def _stream_tail(self, comps, image_sizes) -> List[SampleResult]:
+        """Serve completions -> padded token/hidden/artifact stacks -> the
+        standard parse + vl_decode postprocess."""
+        cfg = self.cfg
         comps.sort(key=lambda c: c.uid)
         b = len(comps)
         tokens = np.full((b, self.max_new_tokens), cfg.pad_token_id, np.int64)
@@ -279,9 +403,21 @@ def infer_dataset(
     max_side: Optional[int] = 644,
     log_every: int = 1,
     prompt_bucket: Optional[int] = None,  # pin to avoid per-length recompiles
+    stream: bool = False,  # continuous-batching serve engine instead of fixed batches
+    share_prefix: bool = False,  # with stream: one image prefill per unique image path
+    n_slots: int = 16,
+    prefill_bucket: int = 4,
+    chunk_steps: int = 8,
 ) -> Tuple[str, str]:
     """Shard over hosts, write per-host JSONL result + completion files
-    (reference file naming, `utils.py:184-189`)."""
+    (reference file naming, `utils.py:184-189`).
+
+    `stream=True` routes each chunk through `InferenceEngine.run_stream`
+    (slot-recycled continuous batching; the engine instance is cached on the
+    InferenceEngine so chunks share compiles and — with `share_prefix` — the
+    device-resident prefix-KV LRU persists across chunks, keyed by image
+    path). RefCOCO-style datasets with several referring expressions per
+    image prefill each image once instead of once per expression."""
     import PIL.Image
 
     from ..preprocess.vision_process import ensure_min_28, resize_max_side
@@ -310,14 +446,27 @@ def infer_dataset(
         n_real = len(rows)
         rows = rows + [rows[-1]] * (batch_size - n_real)
         prompts = [r["problem"] for r in rows]
-        images = []
+        images, paths, img_cache = [], [], {}
         for r in rows:
-            img = PIL.Image.open(r["image_path"][0] if isinstance(r["image_path"], list) else r["image_path"])
-            img = ensure_min_28(img)
-            if max_side and max(img.size) > max_side:
-                img = resize_max_side(img, max_side)
-            images.append(img)
-        results = engine.run_batch(prompts, images, prompt_bucket=prompt_bucket)[:n_real]
+            path = r["image_path"][0] if isinstance(r["image_path"], list) else r["image_path"]
+            if path not in img_cache:
+                img = PIL.Image.open(path)
+                img = ensure_min_28(img)
+                if max_side and max(img.size) > max_side:
+                    img = resize_max_side(img, max_side)
+                img_cache[path] = img
+            images.append(img_cache[path])
+            paths.append(path)
+        if stream:
+            results = engine.run_stream(
+                prompts, images, n_slots=n_slots, prefill_bucket=prefill_bucket,
+                chunk_steps=chunk_steps, prompt_bucket=prompt_bucket,
+                share_prefix=share_prefix,
+                suffix_bucket=128 if share_prefix else None,
+                prefix_keys=paths if share_prefix else None,
+            )[:n_real]
+        else:
+            results = engine.run_batch(prompts, images, prompt_bucket=prompt_bucket)[:n_real]
         rows = rows[:n_real]
         with open(comp_path, "a") as f:
             for r, res in zip(rows, results):

@@ -36,6 +36,8 @@ def cmd_infer(a):
     res, comp = infer_dataset(
         engine, dataset, a.output_dir, batch_size=a.batch_size,
         datasetname=a.dataset, suffix=a.suffix, max_side=a.max_side,
+        stream=a.engine == "stream", share_prefix=a.share_prefix,
+        n_slots=a.n_slots,
     )
     print("wrote", res, comp)
 
@@ -126,6 +128,16 @@ def main():
     ai.add_argument("--batch_size", type=int, default=16)
     ai.add_argument("--max_new_tokens", type=int, default=1024)
     ai.add_argument("--max_side", type=int, default=644)
+    ai.add_argument(
+        "--engine", choices=["batch", "stream"], default="batch",
+        help="stream = continuous-batching serve engine (slot recycling)",
+    )
+    ai.add_argument(
+        "--share_prefix", action="store_true",
+        help="with --engine stream: prefill each unique image once (prefix KV "
+        "cache); wins when the dataset has several prompts per image (RefCOCO)",
+    )
+    ai.add_argument("--n_slots", type=int, default=16)
 
     asc = sub.add_parser("score")
     asc.add_argument("--task", choices=["coco", "refcoco"], required=True)

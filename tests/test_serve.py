@@ -384,3 +384,34 @@ def test_prefix_cache_matches_full_prefill():
     by2 = {c.uid: c for c in res2}
     for i in range(len(prompts)):
         np.testing.assert_array_equal(by2[i].tokens, by_pfx[i].tokens)
+
+
+@pytest.mark.smoke
+def test_run_stream_share_prefix_matches_run_batch():
+    """run_stream(share_prefix=True) with several prompts per image object:
+    same completions and object geometry as run_batch's full-prompt path, with
+    the full parse -> vl_decode tail on prefix-cached hidden/artifacts."""
+    from padt_tpu.eval.harness import InferenceEngine
+
+    cfg = padt_tiny()
+    tok = make_tiny_tokenizer(cfg)
+    proc = VisionTextProcessor(tok, cfg, seq_bucket=32, patch_bucket=128)
+    proc.prepare(cfg.text.vocab_size)
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(17)
+    uniq = [ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12)) for _ in range(2)]
+    images = [uniq[0], uniq[0], uniq[1], uniq[0], uniq[1]]  # identity sharing
+    prompts = ['find "a"', 'find "b"', 'find "c"', "what is it", "segment it"]
+
+    eng = InferenceEngine(params, cfg, proc, max_new_tokens=8, canvas_hw=(9, 9))
+    ref = eng.run_batch(prompts, images, patch_bucket=128, prompt_bucket=128)
+    got = eng.run_stream(
+        prompts, images, n_slots=2, prefill_bucket=1, chunk_steps=3,
+        patch_bucket=128, share_prefix=True,
+    )
+    assert [r.completion for r in got] == [r.completion for r in ref]
+    for g, r in zip(got, ref):
+        assert len(g.objects) == len(r.objects)
+        for go, ro in zip(g.objects, r.objects):
+            assert go.label == ro.label
+            np.testing.assert_allclose(go.bbox_xywh_px, ro.bbox_xywh_px, atol=2)
