@@ -22,7 +22,9 @@ Prints ONE JSON line: {"metric": "train_step_time_s", "value": ..., "unit":
 Env: PADT_TRAIN_BATCH (default ladder 8/4/2/1), PADT_TRAIN_OPT
 (adafactor|adamw), PADT_TRAIN_FREEZE (1 default), PADT_TRAIN_SMALL=1 (tiny
 config for CPU smoke), PADT_TRAIN_STEPS (timed steps, default 4),
-PADT_TRAIN_ACCUM (micro-steps per optimizer update, default 1 = fused step).
+PADT_TRAIN_ACCUM (micro-steps per optimizer update, default 1 = fused step),
+PADT_TRAIN_VISION_CACHE=1 (frozen-tower feature caching steady state: the
+tower runs zero times per step — trainer `cache_vision_features`).
 
 Single-chip batch ladder (measured): fused batch 16 misses HBM by 7.39 MB;
 batch 8 + accum 2 (effective 16) misses by 5.17 GB — the bf16 grad
@@ -168,6 +170,21 @@ def run(batch_size):
     params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     batch, canvas_hw = _build_batch(cfg, batch_size, grid, lp, lc)
 
+    # PADT_TRAIN_VISION_CACHE=1 (requires freeze): swap the tower inputs for
+    # precomputed tower outputs (models/padt.py::vision_features) — the
+    # trainer's cache_vision_features steady state. Features sit device-
+    # resident here, standing in for a real host's per-batch feed (~10 MB x
+    # batch per step over PCIe; this machine's tunnel can't sustain that, but
+    # the STEP cost is what's being measured).
+    vision_cache = os.environ.get("PADT_TRAIN_VISION_CACHE", "0") == "1"
+    if vision_cache:
+        assert freeze_vision, "vision-feature caching is exact only with frozen vision"
+        feat_fn = jax.jit(lambda p, b: P.vision_features(p, cfg, b))
+        feats = feat_fn(params, {k: batch[k] for k in P._VISION_BATCH_KEYS if k in batch})
+        batch = {k: v for k, v in batch.items() if k not in P._VISION_ONLY_KEYS}
+        batch.update(feats)
+        jax.block_until_ready(list(feats.values()))
+
     frozen_mask = None
     if freeze_vision:
         frozen_mask = lambda p: jax.tree_util.tree_map_with_path(
@@ -239,7 +256,12 @@ def run(batch_size):
 
     l_total = lp + lc
     tokens_per_step = batch_size * l_total * accum
-    flops = accum * _flops_per_step(cfg, params, batch_size, l_total, lc, cfg.max_image_patches, freeze_vision)
+    flops = accum * _flops_per_step(
+        cfg, params, batch_size, l_total, lc,
+        # cached vision: the tower contributes ZERO FLOPs to the step
+        0 if vision_cache else cfg.max_image_patches,
+        freeze_vision,
+    )
     peak = 197.9e12 if jax.default_backend() == "tpu" else 1e12
     mfu = flops / (t_step * peak)
 
@@ -260,6 +282,7 @@ def run(batch_size):
             "mfu": round(mfu, 4),
             "optimizer": opt_name,
             "freeze_vision": freeze_vision,
+            "vision_feature_cache": vision_cache,
             "params_total": n_total,
             "params_trainable": n_total - (n_vision if freeze_vision else 0),
             "compile_plus_first_step_s": round(t_compile, 1),

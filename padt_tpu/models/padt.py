@@ -209,11 +209,66 @@ _VISION_BATCH_KEYS = (
     "hpos", "wpos", "num_merged", "num_patches", "grid_thw", "pack_index",
 )  # pack_index present only with the window-SLOT layout (vision_geom.py)
 
+# batch keys consumed ONLY by the vision tower forward — a batch carrying
+# cached `vis_*` features (see vision_features) can drop these entirely
+_VISION_ONLY_KEYS = (
+    "pixel_patches", "window_index", "inv_window_index", "seg_win", "seg_full",
+    "hpos", "wpos", "pack_index",
+)
+
+_VISION_CACHE_KEYS = ("vis_merged", "vis_high_res", "vis_pe_cos", "vis_pe_sin")
+
+
+def vision_features(
+    params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Run the (frozen) vision tower once and return the `vis_*` batch keys
+    that make `forward_train`/`run_vision` skip it.
+
+    Under `freeze_vision` the training graph is cut by stop_gradient at
+    exactly these tensors (the reference freezes the same module set via
+    requires_grad_(False), `padt_sft_trainer.py:166-170`), so feeding them
+    back as batch data is EXACTLY gradient- and loss-equivalent — while the
+    trainable prototype projection (`image_prototypes`) is recomputed from
+    `merged` every step. Tower FLOPs per step drop to zero: ~35% of the
+    measured 3B frozen-vision step (BASELINE.md training table).
+
+    Size: ~10 MB/sample bf16 at 3B/644px (merged (M,2048) + high_res (S,1280)
+    + rope tables) — cache on the HOST and stream per batch (needs ~batch x
+    10 MB/step of host->device feed, trivial on a real PCIe host)."""
+    art = run_vision(params, cfg, batch, remat=remat, freeze=True)
+    return {
+        "vis_merged": art.merged,
+        "vis_high_res": art.high_res,
+        "vis_pe_cos": art.pe_cos,
+        "vis_pe_sin": art.pe_sin,
+    }
+
 
 def run_vision(
     params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False,
     freeze: bool = False,
 ) -> VisionArtifacts:
+    if "vis_merged" in batch:
+        # precomputed frozen-tower features (vision_features): skip the tower,
+        # recompute only the trainable prototype projection
+        if not freeze:
+            raise ValueError(
+                "cached vision features (vis_* batch keys) are exact only under "
+                "freeze_vision=True: the tower graph is skipped entirely, so an "
+                "unfrozen tower's gradients would be silently zero"
+            )
+        merged = batch["vis_merged"]
+        return VisionArtifacts(
+            merged=merged,
+            proto=image_prototypes(params, cfg, merged),
+            high_res=batch["vis_high_res"],
+            pe_cos=batch["vis_pe_cos"],
+            pe_sin=batch["vis_pe_sin"],
+            num_merged=batch["num_merged"],
+            num_patches=batch["num_patches"],
+            grid_thw=batch["grid_thw"],
+        )
     b = batch["pixel_patches"].shape[0]
     cs = cfg.vision_chunk_size
     if cs and b > cs and b % cs == 0:

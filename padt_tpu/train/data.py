@@ -174,6 +174,7 @@ def build_train_batch(
     patch_bucket: Optional[int] = None,
     canvas_hw: Optional[tuple] = None,
     use_mask_targets: bool = True,
+    batch_idx: Optional[List[int]] = None,  # dataset indices (vision-feature cache keys)
 ) -> TrainBatch:
     from ..preprocess.vision_process import ProcessedImage, ensure_min_28, process_image
 
@@ -283,4 +284,7 @@ def build_train_batch(
         gt_mask=gt_mask,
         gt_mask_valid=gt_mask_valid,
     )
-    return TrainBatch(model=d, prompt_length=lp, rope_deltas=batch.rope_deltas, meta={"canvas_hw": (hc, wc)})
+    meta: Dict[str, Any] = {"canvas_hw": (hc, wc)}
+    if batch_idx is not None:
+        meta["batch_idx"] = list(batch_idx)
+    return TrainBatch(model=d, prompt_length=lp, rope_deltas=batch.rope_deltas, meta=meta)

@@ -89,6 +89,15 @@ class TrainArgs:
     random_select_patch: bool = False
     random_select_patch_num: int = 5
     freeze_vision_modules: bool = False
+    # Frozen-tower feature caching (requires freeze_vision_modules): each
+    # sample's vision-tower outputs (models/padt.py::vision_features) are
+    # computed once, stored host-side (~10 MB/sample bf16 at 3B/644px), and
+    # spliced into later batches in place of pixel_patches — exactly gradient-
+    # equivalent (stop_gradient already cuts at these tensors) while removing
+    # the tower forward (~35% of the frozen 3B step) from every step after a
+    # sample's first visit. The trainable prototype projection still
+    # recomputes from the cached features each step.
+    cache_vision_features: bool = False
     # "adamw" (reference HF default) | "adafactor" (factored second moments —
     # the single-chip-3B memory configuration, see BASELINE.md training table)
     optimizer: str = "adamw"
@@ -153,6 +162,13 @@ class PaDTTrainer:
             self.opt_state = jax.jit(
                 self.optimizer.init, in_shardings=(param_shardings(params, self.mesh),)
             )(self.params)
+        if args.cache_vision_features and not args.freeze_vision_modules:
+            raise ValueError(
+                "cache_vision_features requires freeze_vision_modules: cached "
+                "features skip the tower graph, so an unfrozen tower would "
+                "silently train with zero vision gradients"
+            )
+        self._vis_cache: Dict[Tuple, Dict[str, np.ndarray]] = {}
         self.global_step = 0
         self._step_fn_cache: Dict[Tuple, Any] = {}
         self.metrics_log: List[Dict] = []
@@ -213,10 +229,53 @@ class PaDTTrainer:
 
         key = ("eval", prompt_length, canvas_hw)
         if key not in self._step_fn_cache:
+            # freeze_vision is grad-only and harmless in a loss-only forward,
+            # but it gates run_vision's cached vis_* path — keep it consistent
+            lcfg = self._lcfg()._replace(freeze_vision=self.args.freeze_vision_modules)
             self._step_fn_cache[key] = jax.jit(
-                make_eval_step(self.cfg, prompt_length, canvas_hw, lcfg=self._lcfg())
+                make_eval_step(self.cfg, prompt_length, canvas_hw, lcfg=lcfg)
             )
         return self._step_fn_cache[key]
+
+    # ------------------------------------------------------------------
+    def _with_vis_cache(self, tb, split: str) -> Dict[str, Any]:
+        """cache_vision_features: swap a built batch's vision-tower inputs for
+        per-sample cached tower outputs (models/padt.py::vision_features),
+        computing + host-caching any missing samples' features in one batched
+        device call. Must run on the main thread (device work)."""
+        if not self.args.cache_vision_features:
+            return tb.model
+        idx = tb.meta.get("batch_idx")
+        if idx is None:
+            raise ValueError(
+                "cache_vision_features needs per-sample cache keys: pass "
+                "batch_idx= to build_train_batch"
+            )
+        keys = [(split, int(i)) for i in idx]
+        if any(k not in self._vis_cache for k in keys):
+            vb = {
+                k: tb.model[k]
+                for k in padt_model._VISION_BATCH_KEYS
+                if k in tb.model
+            }
+            fkey = ("visfeat", vb["pixel_patches"].shape)
+            if fkey not in self._step_fn_cache:
+                cfg = self.cfg
+                self._step_fn_cache[fkey] = jax.jit(
+                    lambda p, b: padt_model.vision_features(p, cfg, b)
+                )
+            b_sh = batch_shardings(vb, self.mesh)
+            vb_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in vb.items()}
+            feats = self._step_fn_cache[fkey](self.params, vb_dev)
+            host = {k: np.asarray(v) for k, v in feats.items()}  # one gather
+            for row, key in enumerate(keys):
+                self._vis_cache[key] = {k: host[k][row] for k in host}
+        model = {
+            k: v for k, v in tb.model.items() if k not in padt_model._VISION_ONLY_KEYS
+        }
+        for name in padt_model._VISION_CACHE_KEYS:
+            model[name] = np.stack([self._vis_cache[k][name] for k in keys])
+        return model
 
     # ------------------------------------------------------------------
     def evaluate(self) -> Dict[str, float]:
@@ -244,15 +303,16 @@ class PaDTTrainer:
                 )
                 tb = build_train_batch(
                     samples, self.processor, self.cfg, rng,
-                    images=imgs,
+                    images=imgs, batch_idx=batch_idx,
                     prompt_bucket=a.prompt_bucket,
                     completion_bucket=a.completion_bucket,
                     patch_bucket=a.patch_bucket,
                     canvas_hw=a.canvas_hw,
                     use_mask_targets=a.use_mask_loss,
                 )
-                b_sh = batch_shardings(tb.model, self.mesh)
-                batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
+                model = self._with_vis_cache(tb, "eval")
+                b_sh = batch_shardings(model, self.mesh)
+                batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in model.items()}
                 m = self._eval_fn(tb.prompt_length, tb.meta["canvas_hw"])(self.params, batch_dev)
                 metric_sum = m if metric_sum is None else jax.tree.map(jnp.add, metric_sum, m)
                 n_batches += 1
@@ -300,7 +360,7 @@ class PaDTTrainer:
                         micro_batches.append(
                             build_train_batch(
                                 samples, self.processor, self.cfg, rng,
-                                images=imgs,
+                                images=imgs, batch_idx=batch_idx,
                                 random_select_patch=a.random_select_patch,
                                 random_select_patch_num=a.random_select_patch_num,
                                 prompt_bucket=a.prompt_bucket,
@@ -321,8 +381,9 @@ class PaDTTrainer:
             with self.mesh:
                 if ga == 1:
                     tb = micro_batches[0]
-                    b_sh = batch_shardings(tb.model, self.mesh)
-                    batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
+                    model = self._with_vis_cache(tb, "train")
+                    b_sh = batch_shardings(model, self.mesh)
+                    batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in model.items()}
                     step = self._step_fn(tb.prompt_length, tb.meta["canvas_hw"])
                     self.params, self.opt_state, metrics = step(
                         self.params, self.opt_state, batch_dev, jnp.asarray(bool(warmup))
@@ -338,8 +399,9 @@ class PaDTTrainer:
                         grad_fn, add_fn, apply_fn = self._accum_fns(
                             tb.prompt_length, tb.meta["canvas_hw"]
                         )
-                        b_sh = batch_shardings(tb.model, self.mesh)
-                        batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in tb.model.items()}
+                        model = self._with_vis_cache(tb, "train")
+                        b_sh = batch_shardings(model, self.mesh)
+                        batch_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in model.items()}
                         grads, m = grad_fn(self.params, batch_dev, jnp.asarray(bool(warmup)))
                         grads_acc = grads if grads_acc is None else add_fn(grads_acc, grads)
                         metric_sum = m if metric_sum is None else jax.tree.map(jnp.add, metric_sum, m)

@@ -46,6 +46,11 @@ def parse_args():
     ap.add_argument("--random_select_patch", action="store_true", default=False)
     ap.add_argument("--random_select_patch_num", type=int, default=5)
     ap.add_argument("--freeze_vision_modules", action="store_true", default=False)
+    ap.add_argument(
+        "--cache_vision_features", action="store_true", default=False,
+        help="with --freeze_vision_modules: compute each sample's vision-tower "
+        "features once and reuse (exact-equivalent; ~10 MB host RAM/sample at 3B)",
+    )
     ap.add_argument("--optimizer", default="adamw", choices=["adamw", "adafactor"])
     ap.add_argument("--resume_from_checkpoint", default="false")
     ap.add_argument("--mesh_data", type=int, default=1)
@@ -102,6 +107,7 @@ def main():
         random_select_patch=a.random_select_patch,
         random_select_patch_num=a.random_select_patch_num,
         freeze_vision_modules=a.freeze_vision_modules,
+        cache_vision_features=a.cache_vision_features,
         optimizer=a.optimizer,
         prompt_bucket=a.prompt_bucket,
         completion_bucket=a.completion_bucket,
