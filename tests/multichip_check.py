@@ -80,5 +80,61 @@ def check_sharded_generate():
     print("sharded_generate OK", sh_tokens[0].tolist())
 
 
+def check_cached_vision_train():
+    """Sharded SFT train step consuming cached vis_* features (trainer
+    cache_vision_features): the cached keys must shard cleanly over the batch
+    axes (generic leading-dim rule in parallel/mesh.py::batch_shardings) and
+    the step must stay SPMD-clean — test_parallel asserts zero 'Involuntary
+    full rematerialization' warnings on this process's stderr."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench_train import _build_batch
+    from padt_tpu.config import padt_tiny
+    from padt_tpu.models import padt as P
+    from padt_tpu.parallel.mesh import (
+        batch_shardings, make_mesh, param_shardings, shard_params,
+    )
+    from padt_tpu.train.train_step import LossConfig, make_optimizer, make_train_step
+
+    assert len(jax.devices()) >= 8, jax.devices()
+    cfg = padt_tiny().replace(max_image_patches=256)
+    b, grid, lp, lc = 8, (1, 16, 16), 96, 32
+    batch, canvas_hw = _build_batch(cfg, b, grid, lp, lc)
+    batch = {
+        k: v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
+        for k, v in batch.items()
+    }
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    with mesh:
+        params = shard_params(params, mesh)
+        # batched feature fill, sharded — same call the trainer makes on a miss
+        vb = {k: batch[k] for k in P._VISION_BATCH_KEYS if k in batch}
+        v_sh = batch_shardings(vb, mesh)
+        vb_dev = {k: jax.device_put(v, v_sh[k]) for k, v in vb.items()}
+        feats = jax.jit(lambda p, bt: P.vision_features(p, cfg, bt))(params, vb_dev)
+        cached = {k: v for k, v in batch.items() if k not in P._VISION_ONLY_KEYS}
+        cached.update(feats)
+
+        opt = make_optimizer(learning_rate=1e-5, total_steps=10)
+        opt_state = jax.jit(
+            opt.init, in_shardings=(param_shardings(params, mesh),)
+        )(params)
+        step = make_train_step(
+            cfg, opt, prompt_length=lp, canvas_hw=canvas_hw,
+            lcfg=LossConfig(freeze_vision=True),
+        )
+        c_sh = batch_shardings(cached, mesh)
+        cached_dev = {k: jax.device_put(v, c_sh[k]) for k, v in cached.items()}
+        params, opt_state, metrics = jax.jit(step, donate_argnums=(0, 1))(
+            params, opt_state, cached_dev, jnp.asarray(False)
+        )
+        loss = float(metrics["loss"])
+    assert np.isfinite(loss), metrics
+    print("cached_vision_train OK", round(loss, 4))
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

@@ -56,3 +56,20 @@ def test_sharded_generate_matches_single_device():
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "sharded_generate OK" in r.stdout
+
+
+@pytest.mark.smoke
+def test_cached_vision_train_sharded_and_spmd_clean():
+    """Cached vis_* train step on a (2,2,2) mesh: runs, finite loss, and NO
+    involuntary full rematerializations (the cached-feature keys must not
+    regress the SPMD-clean train step)."""
+    env = _cpu_env(8)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tests", "multichip_check.py"), "check_cached_vision_train"],
+        env=env, cwd=root, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "cached_vision_train OK" in r.stdout
+    n_remat = r.stderr.count("Involuntary full rematerialization")
+    assert n_remat == 0, f"{n_remat} involuntary remats:\n" + r.stderr[-3000:]
