@@ -185,14 +185,11 @@ def run(batch_size):
         batch.update(feats)
         jax.block_until_ready(list(feats.values()))
 
-    frozen_mask = None
-    if freeze_vision:
-        frozen_mask = lambda p: jax.tree_util.tree_map_with_path(
-            lambda path, _: str(path[0].key) == "vision" if hasattr(path[0], "key") else False,
-            p,
-        )
+    from padt_tpu.train.train_step import vision_frozen_mask
+
     opt = make_optimizer(
-        learning_rate=2e-5, total_steps=1000, optimizer=opt_name, frozen_mask=frozen_mask
+        learning_rate=2e-5, total_steps=1000, optimizer=opt_name,
+        frozen_mask=vision_frozen_mask if freeze_vision else None,
     )
     opt_state = opt.init(params)
     lcfg = LossConfig(freeze_vision=freeze_vision)

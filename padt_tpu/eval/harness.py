@@ -205,15 +205,31 @@ class InferenceEngine:
             # one prefix per unique image OBJECT; prefix lengths collapse to
             # <=3 distinct 128-multiple buckets (same compile-count policy as
             # the heterogeneous full-prompt path below)
-            pkey = (
-                (lambda i: prefix_keys[i]) if prefix_keys is not None
-                else (lambda i: id(images[i]))
-            )
+            if prefix_keys is not None:
+                pkey = lambda i: prefix_keys[i]
+            else:
+                # default identity keys are only valid WITHIN this call: the
+                # engine's prefix-KV LRU persists on the cached engine, and
+                # CPython reuses id()s of freed objects across calls — an
+                # unsalted id hit would silently splice another image's KV.
+                # Pass stable prefix_keys (e.g. file paths) to get cross-call
+                # prefix reuse.
+                self._stream_calls = getattr(self, "_stream_calls", 0) + 1
+                salt = self._stream_calls
+                pkey = lambda i: (salt, id(images[i]))
             nat: Dict[Any, Any] = {}
             for i in shared:
                 k = pkey(i)
                 if k not in nat:
-                    nat[k] = (images[i], proc.build_prefix_batch(images[i], patch_bucket=pb))
+                    # PIL -> ProcessedImage once: the prefix batch is rebuilt
+                    # below at the picked 128-bucket, and patch extraction is
+                    # the expensive host step (one CPU core here)
+                    img = images[i]
+                    if not isinstance(img, ProcessedImage):
+                        from ..preprocess.vision_process import process_image
+
+                        img = process_image(img, proc.min_pixels, proc.max_pixels)
+                    nat[k] = (img, proc.build_prefix_batch(img, patch_bucket=pb))
             lens = sorted({b.data["input_ids"].shape[1] for _, b in nat.values()} or {128})
             if prompt_bucket is not None:
                 # pinned single prefix bucket: stable engine shapes across

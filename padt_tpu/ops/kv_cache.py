@@ -20,7 +20,7 @@ contiguous (C, hd) tiles for the kernel grid.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -682,19 +682,25 @@ def store_kv_rows_all_layers(
 
 
 def _store_rows_k_kernel_all_layers(
-    pos_ref, k8_ref, ks_ref, v8_ref, vs_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref,
+    meta_ref, k8_ref, ks_ref, v8_ref, vs_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref,
     k8o_ref, kso_ref, v8o_ref, vso_ref, *, offset: int, kq: int,
 ):
     """`_store_rows_k_kernel_stacked` with the layer as grid dim 0 instead of
     a scalar-prefetch index: one two-pass launch writes EVERY layer's K new
-    rows (the post-scan write for the serve engine's speculative verify)."""
+    rows (the post-scan write for the serve engine's speculative verify).
+
+    meta_ref (2, B): row 0 = per-sample first store position, row 1 = how many
+    of the K rows to store (rows >= count leave the cache byte-identical —
+    the prefix-cache suffix pass runs pool-wide and slots outside the
+    admission MUST NOT have live rows physically overwritten)."""
     from jax.experimental import pallas as pl
 
     bi = pl.program_id(1)
-    r = pos_ref[bi] % _STORE_ROWS - offset * _STORE_ROWS
+    r = meta_ref[0, bi] % _STORE_ROWS - offset * _STORE_ROWS
+    n = meta_ref[1, bi]
     ii = jax.lax.broadcasted_iota(jnp.int32, (_STORE_ROWS, kq), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (_STORE_ROWS, kq), 1)
-    sel = (ii == r + jj).astype(jnp.float32)
+    sel = ((ii == r + jj) & (jj < n)).astype(jnp.float32)
     rowmask = (jnp.sum(sel, axis=1, keepdims=True) > 0)
 
     def put(o_ref, cur_ref, new_ref):
@@ -722,10 +728,17 @@ def store_kv_rows_k_all_layers(
     v8r: jnp.ndarray,
     vsr: jnp.ndarray,
     pos: jnp.ndarray,  # (B,) int32 — first row position per sample
+    n_rows: Optional[jnp.ndarray] = None,  # (B,) int32 — rows to store (default K)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """`store_kv_rows_all_layers` for K consecutive rows per (layer, sample)
     (the speculative verify step's post-scan write). Two aliased passes cover
-    the straddled 32-row tile pair, exactly like `store_kv_rows_k`."""
+    the straddled 32-row tile pair, exactly like `store_kv_rows_k`.
+
+    `n_rows`: per-sample count of rows actually stored; rows >= n_rows leave
+    the cache byte-identical. The prefix-cache suffix prefill passes its
+    per-slot suffix lengths here so slots OUTSIDE the admission (n_rows 0)
+    are never physically written — their store position is clamped and could
+    otherwise land on live rows of a near-capacity slot."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -734,17 +747,23 @@ def store_kv_rows_k_all_layers(
     nl, b, hkv, c, hd = k8.shape
     kq = k8r.shape[3]
     assert kq <= _STORE_ROWS
+    if n_rows is None:
+        n_rows = jnp.full((b,), kq, jnp.int32)
     if not use_pallas():
-        upd = jax.vmap(
-            lambda bufL, kvL: jax.vmap(
-                lambda buf, kv, p: jax.lax.dynamic_update_slice(buf, kv, (0, p, 0))
-            )(bufL, kvL, pos)
-        )
-        upd_s = jax.vmap(
-            lambda bufL, sL: jax.vmap(
-                lambda buf, s, p: jax.lax.dynamic_update_slice(buf, s, (0, p))
-            )(bufL, sL, pos)
-        )
+        jj = jnp.arange(kq)
+
+        def merge(buf, kv, p, n):  # buf (Hkv, C, d), kv (Hkv, K, d)
+            cur = jax.lax.dynamic_slice(buf, (0, p, 0), (buf.shape[0], kq, buf.shape[2]))
+            kv = jnp.where((jj < n)[None, :, None], kv, cur)
+            return jax.lax.dynamic_update_slice(buf, kv, (0, p, 0))
+
+        def merge_s(buf, s, p, n):  # buf (Hkv, C), s (Hkv, K)
+            cur = jax.lax.dynamic_slice(buf, (0, p), (buf.shape[0], kq))
+            s = jnp.where((jj < n)[None, :], s, cur)
+            return jax.lax.dynamic_update_slice(buf, s, (0, p))
+
+        upd = jax.vmap(lambda bufL, kvL: jax.vmap(merge)(bufL, kvL, pos, n_rows))
+        upd_s = jax.vmap(lambda bufL, sL: jax.vmap(merge_s)(bufL, sL, pos, n_rows))
         return upd(k8, k8r), upd_s(ks, ksr), upd(v8, v8r), upd_s(vs, vsr)
 
     R = _STORE_ROWS
@@ -756,11 +775,11 @@ def store_kv_rows_k_all_layers(
 
     for offset in (0, 1):
         tile = (
-            (lambda l, bi, hi, pos_r: (l, bi, hi, pos_r[bi] // R, 0))
+            (lambda l, bi, hi, meta_r: (l, bi, hi, meta_r[0, bi] // R, 0))
             if offset == 0
-            else (lambda l, bi, hi, pos_r: (l, bi, hi, jnp.minimum(pos_r[bi] // R + 1, n_tiles - 1), 0))
+            else (lambda l, bi, hi, meta_r: (l, bi, hi, jnp.minimum(meta_r[0, bi] // R + 1, n_tiles - 1), 0))
         )
-        row = lambda l, bi, hi, pos_r: (l, bi, hi, 0, 0)
+        row = lambda l, bi, hi, meta_r: (l, bi, hi, 0, 0)
         spec_c8 = pl.BlockSpec((1, 1, 1, R, hd), tile)
         spec_cs = pl.BlockSpec((1, 1, 1, R, 1), tile)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -776,6 +795,11 @@ def store_kv_rows_k_all_layers(
             out_specs=[spec_c8, spec_cs, spec_c8, spec_cs],
         )
         pos_eff = pos if offset == 0 else jnp.where(pos // R + 1 <= n_tiles - 1, pos, 0)
+        # second pass: samples whose rows don't straddle into a next tile
+        # store ZERO rows there (pos_eff falls back to tile 0 — it must not
+        # re-store, n=0 makes the pass a pure copy for them)
+        n_eff = n_rows if offset == 0 else jnp.where(pos // R + 1 <= n_tiles - 1, n_rows, 0)
+        meta = jnp.stack([pos_eff.astype(jnp.int32), n_eff.astype(jnp.int32)])
         k8, ks5, v8, vs5 = pl.pallas_call(
             functools.partial(_store_rows_k_kernel_all_layers, offset=offset, kq=kq),
             grid_spec=grid_spec,
@@ -785,12 +809,12 @@ def store_kv_rows_k_all_layers(
                 jax.ShapeDtypeStruct(v8.shape, v8.dtype),
                 jax.ShapeDtypeStruct(vs5.shape, vs5.dtype),
             ],
-            # flat input indices INCLUDE the scalar-prefetch arg (pos=0)
+            # flat input indices INCLUDE the scalar-prefetch arg (meta=0)
             input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
-        )(pos_eff, k8, ks5, v8, vs5, k8r, ksr5, v8r, vsr5)
+        )(meta, k8, ks5, v8, vs5, k8r, ksr5, v8r, vsr5)
     return k8, ks5.reshape(nl, b, hkv, c), v8, vs5.reshape(nl, b, hkv, c)
 
 

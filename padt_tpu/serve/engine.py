@@ -261,7 +261,10 @@ def _decode_step_slots(params, tcfg, inputs_embeds, state: DecodeState):
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
 
 
-def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_pos, active_mask=None):
+def _decode_spec_slots(
+    params, tcfg, inputs_embeds, state: DecodeState, store_pos, active_mask=None,
+    n_store_rows=None,
+):
     """K-token verify step for speculative decoding: same per-slot layout as
     `_decode_step_slots`, but K consecutive tokens are embedded, their KVs
     stored at store_pos..store_pos+K-1 (k-row aliased store), and attention
@@ -271,7 +274,13 @@ def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_po
     `active_mask` (B,) selects which slots' new rows become valid; defaults to
     `state.active` (the speculative-verify semantics). The prefix-cache suffix
     prefill passes only its admitted slots so a pool-wide suffix pass can't
-    mark garbage rows valid in slots that are mid-decode."""
+    mark garbage rows valid in slots that are mid-decode.
+
+    `n_store_rows` (B,) limits how many of the K rows are PHYSICALLY written
+    per slot (default all K). Slots outside a pool-wide pass must pass 0:
+    their store_pos is clamped to cap-K, which for a near-capacity slot lands
+    on LIVE rows — validity masking alone would leave those rows' bytes
+    silently corrupted."""
     from ..ops.kv_cache import decode_attention_int8_multi, store_kv_rows_k_all_layers
 
     if active_mask is None:
@@ -313,7 +322,7 @@ def _decode_spec_slots(params, tcfg, inputs_embeds, state: DecodeState, store_po
         body, inputs_embeds, (params["layers"], jnp.arange(nl, dtype=jnp.int32))
     )
     k8, ks, v8, vs = store_kv_rows_k_all_layers(
-        k8a, ksa, v8a, vsa, k8r, ksr, v8r, vsr, store_pos
+        k8a, ksa, v8a, vsa, k8r, ksr, v8r, vsr, store_pos, n_rows=n_store_rows
     )
     hidden = rms_norm(x, params["final_ln_w"], tcfg.rms_norm_eps)
     return hidden, state._replace(k8=k8, ks=ks, v8=v8, vs=vs, valid=new_valid)
@@ -335,9 +344,12 @@ def _suffix_prefill_step(params, cfg: PaDTConfig, state: DecodeState, inputs, sl
     that predicts the first generated token, matching full-prompt prefill).
 
     `inputs` (B, K) int32 — pad-token rows for slots not in this admission
-    (slen == 0): their attention outputs are discarded and their row stores
-    land at rows >= write_pos that are invalid by the pool invariant
-    (valid ⊆ [0, write_pos)) and rewritten before any read.
+    (slen == 0): their attention outputs are discarded and NO rows are
+    physically stored for them (n_store_rows=0) — their clamped store
+    position can land on LIVE rows of a near-capacity slot, so masking
+    validity alone is not enough. Participants never clamp: _admit_prefix's
+    capacity check guarantees prefix + padded suffix + budget fits, so a
+    participant's store positions stay within [0, cap - K].
     """
     kq = inputs.shape[1]
     mask = slen > 0
@@ -345,7 +357,8 @@ def _suffix_prefill_step(params, cfg: PaDTConfig, state: DecodeState, inputs, sl
     cap = state.valid.shape[1]
     store_pos = jnp.minimum(state.write_pos, cap - kq)
     hid, st2 = _decode_spec_slots(
-        params["text"], cfg.text, emb, state, store_pos, active_mask=mask
+        params["text"], cfg.text, emb, state, store_pos, active_mask=mask,
+        n_store_rows=slen,
     )
     # un-validate the right-pad rows: keep [0, write_pos) ∪ [store_pos, store_pos+slen)
     posc = jnp.arange(cap)[None, :]
@@ -399,7 +412,7 @@ def _pack_concat(rows: List[PrefillPack]) -> PrefillPack:
     )
 
 
-def _bigram_draft(ctx, ctx_len, last2, last1, t0, kq):
+def _bigram_draft(ctx, ctx_len, last1, t0, kq):
     """Prompt-lookup drafting: find the most recent bigram (last1, t0) in each
     slot's context and propose the kq-1 tokens that followed it. No match ->
     pad drafts (acceptance simply lands at 0). All VPU compares, O(B*C)."""
@@ -460,7 +473,7 @@ def decode_chunk_spec(
             last1 = jnp.take_along_axis(
                 st.ctx, jnp.clip(st.ctx_len[:, None] - 1, 0, cap - 1), axis=1
             )[:, 0]
-            draft = _bigram_draft(st.ctx, st.ctx_len, None, last1, t0, kq)  # (B, kq-1)
+            draft = _bigram_draft(st.ctx, st.ctx_len, last1, t0, kq)  # (B, kq-1)
         inputs = jnp.concatenate([t0[:, None], draft], axis=1)  # (B, K)
 
         emb = padt_model.extended_embed(params, cfg, inputs, st.proto)

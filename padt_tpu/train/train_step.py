@@ -123,6 +123,18 @@ def padt_loss(
     return total, metrics
 
 
+def vision_frozen_mask(params):
+    """Frozen-leaf mask for `--freeze_vision_modules`: True for every leaf
+    under the top-level "vision" subtree (the reference freezes exactly the
+    "visual" module set, `padt_sft_trainer.py:166-170`). Pass as
+    `make_optimizer(frozen_mask=vision_frozen_mask)` so the frozen tower
+    allocates no optimizer-state buffers."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: bool(path) and getattr(path[0], "key", None) == "vision",
+        params,
+    )
+
+
 def make_optimizer(
     learning_rate: float = 2e-5,
     weight_decay: float = 0.0,

@@ -143,12 +143,10 @@ class PaDTTrainer:
                 f"effective batch — no train steps will run"
             )
         self.total_steps = max(int(n_batches_per_epoch * args.num_train_epochs), 1)
-        frozen_mask = None
-        if args.freeze_vision_modules:
-            # no optimizer-state buffers for the frozen tower
-            frozen_mask = lambda p: jax.tree_util.tree_map_with_path(
-                lambda path, _: bool(path) and getattr(path[0], "key", None) == "vision", p
-            )
+        from .train_step import vision_frozen_mask
+
+        # no optimizer-state buffers for the frozen tower
+        frozen_mask = vision_frozen_mask if args.freeze_vision_modules else None
         self.optimizer = make_optimizer(
             learning_rate=args.learning_rate,
             weight_decay=args.weight_decay,
@@ -253,6 +251,10 @@ class PaDTTrainer:
             )
         keys = [(split, int(i)) for i in idx]
         if any(k not in self._vis_cache for k in keys):
+            # full-batch fill on any miss: the sampler draws WITHOUT
+            # replacement within an epoch, so batches are all-miss (epoch 1)
+            # or all-hit (epoch 2+) — per-row sub-batching would only help a
+            # sampler that mixes revisits into first-visit batches
             vb = {
                 k: tb.model[k]
                 for k in padt_model._VISION_BATCH_KEYS

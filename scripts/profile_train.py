@@ -132,14 +132,11 @@ def main():
     )
 
     # --- full train step (grads donated; fresh params/opt_state per timing) ---
-    frozen_mask = None
-    if freeze_vision:
-        frozen_mask = lambda p: jax.tree_util.tree_map_with_path(
-            lambda path, _: str(path[0].key) == "vision" if hasattr(path[0], "key") else False,
-            p,
-        )
+    from padt_tpu.train.train_step import vision_frozen_mask
+
     opt = make_optimizer(
-        learning_rate=2e-5, total_steps=1000, optimizer=opt_name, frozen_mask=frozen_mask
+        learning_rate=2e-5, total_steps=1000, optimizer=opt_name,
+        frozen_mask=vision_frozen_mask if freeze_vision else None,
     )
     opt_state = opt.init(params)
     step = make_train_step(cfg, opt, prompt_length=lp, canvas_hw=canvas_hw, lcfg=lcfg)

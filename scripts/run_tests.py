@@ -61,18 +61,13 @@ def main():
     out = {"git_head": head}
 
     print("stage 1: smoke (CPU) ...", flush=True)
-    # strip the axon TPU-tunnel plugin: its registration contacts the tunnel
-    # at import even under JAX_PLATFORMS=cpu, so a hung tunnel would hang the
-    # CPU-only smoke stage (CLAUDE.md environment notes)
-    pythonpath = os.pathsep.join(
-        [ROOT] + [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
-                  if p and "axon" not in p]
-    )
-    cpu_env = {
-        "PYTHONPATH": pythonpath,
-        "JAX_PLATFORMS": "cpu",
-        "JAX_PLATFORM_NAME": "cpu",
-    }
+    # strip the axon TPU-tunnel plugin so a hung tunnel can't stall the
+    # CPU-only smoke stage (shared definition: padt_tpu/utils/hostenv.py)
+    sys.path.insert(0, ROOT)
+    from padt_tpu.utils.hostenv import cpu_subprocess_env
+
+    full_env = cpu_subprocess_env(root=ROOT)
+    cpu_env = {k: full_env[k] for k in ("PYTHONPATH", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
     out["smoke"] = _run_stage(["tests/", "-m", "smoke", "-q"], env=cpu_env)
     print(json.dumps(out["smoke"]))
 

@@ -9,22 +9,12 @@ import pytest
 
 
 def _cpu_env(n_devices: int):
-    """Subprocess env that CANNOT touch the TPU tunnel: axon stripped from
-    PYTHONPATH (a hung tunnel blocks backend init even under
-    JAX_PLATFORM_NAME=cpu) + JAX_PLATFORMS=cpu + virtual CPU devices."""
+    """Subprocess env that CANNOT touch the TPU tunnel (one shared
+    definition: padt_tpu/utils/hostenv.py)."""
+    from padt_tpu.utils.hostenv import cpu_subprocess_env
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pythonpath = os.pathsep.join(
-        [root] + [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
-                  if p and "axon" not in p]
-    )
-    return dict(
-        os.environ,
-        PYTHONPATH=pythonpath,
-        JAX_PLATFORMS="cpu",
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=%d" % n_devices,
-    )
+    return cpu_subprocess_env(n_devices, root=root)
 
 
 
