@@ -489,3 +489,48 @@ def test_suffix_pass_never_touches_other_slots_kv():
     solo = make_engine()
     ref, _ = solo.run([reqA])
     np.testing.assert_array_equal(tok_a, ref[0].tokens)
+
+
+@pytest.mark.smoke
+def test_engine_video_request_matches_generate():
+    """A VIDEO request (grid t=2, per-frame fullatt segments, time-aligned
+    M-RoPE via second_per_grid_t) through the slot pool, mixed with an image
+    request: the engine is media-agnostic by design (it consumes prebuilt
+    batches + rope deltas), and each completion must match its standalone
+    generate() run token-for-token. Pins the contract that nothing in the
+    pool path (prefill insert, rope_delta handling, artifact capture) assumes
+    single-frame geometry. Reference: video inputs inherit the Qwen2.5-VL
+    path (SURVEY §2.1 video row; mrope video branch parity in test_video.py)."""
+    cfg = padt_tiny()
+    tok = make_tiny_tokenizer(cfg)
+    proc = VisionTextProcessor(tok, cfg, seq_bucket=32, patch_bucket=128)
+    proc.prepare(cfg.text.vocab_size)
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(33)
+
+    vid = ProcessedImage(
+        rng.randn(2 * 4 * 8, 1176).astype(np.float32), (2, 4, 8),
+        second_per_grid_t=1.0, is_video=True,
+    )
+    img = ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12))
+    bv = proc.build_batch(["describe the clip"], [vid], prompt_bucket=128)
+    bi = proc.build_batch(["find the cat"], [img], prompt_bucket=128)
+
+    eng = ServeEngine(
+        params, cfg, n_slots=2, max_new_tokens=8, prompt_len=128,
+        prefill_bucket=1, chunk_steps=3, patch_bucket=128, collect_hidden=True,
+    )
+    reqs = [
+        Request(batch=bv.data, rope_delta=int(bv.rope_deltas[0]), max_new_tokens=7, uid=0),
+        Request(batch=bi.data, rope_delta=int(bi.rope_deltas[0]), max_new_tokens=5, uid=1),
+    ]
+    results, stats = eng.run(reqs)
+    assert stats.completions == 2
+    by_uid = {c.uid: c for c in results}
+    for uid, (b, budget) in enumerate([(bv, 7), (bi, 5)]):
+        ref_tok, ref_ng, ref_hid = _reference_tokens(cfg, params, b, budget)
+        c = by_uid[uid]
+        assert c.n_gen == ref_ng, f"req {uid}"
+        np.testing.assert_array_equal(c.tokens, ref_tok, err_msg=f"req {uid} tokens diverged")
+        hid = np.asarray(c.hidden, np.float32)[: c.n_gen]
+        np.testing.assert_allclose(hid, ref_hid, rtol=2e-2, atol=2e-2)
