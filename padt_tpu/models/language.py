@@ -126,11 +126,29 @@ def text_forward(
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Full causal forward. Returns (hidden post-final-norm (B,L,D),
     (k_all, v_all) each (layers, B, L, Hkv, hd)) for cache seeding."""
+    from ..ops.attention import use_pallas
+
+    b, l, _ = inputs_embeds.shape
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    # fused single-pass rope kernel (same gate as prefill); its custom VJP is
+    # the same kernel with sin negated, so training takes this path too —
+    # the unfused XLA rotate_half chain costs an extra read+write of q/k per
+    # layer in each of fwd, remat-recompute, and bwd.
+    fused_rope = use_pallas() and l % 128 == 0 and cfg.head_dim % 128 == 0
+    h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     def body(x, lp):
         xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
-        q, k, v = _qkv(xn, lp, cfg, cos, sin)
+        if fused_rope:
+            from ..ops.pallas_attention import rope_pair_packed
+
+            qp = qlinear(lp, "q_w", xn) + lp["q_b"]
+            kp = qlinear(lp, "k_w", xn) + lp["k_b"]
+            v = (qlinear(lp, "v_w", xn) + lp["v_b"]).reshape(b, l, hkv, hd)
+            qr, kr = rope_pair_packed(qp, kp, cos, sin, h, hkv)
+            q, k = qr.reshape(b, l, h, hd), kr.reshape(b, l, hkv, hd)
+        else:
+            q, k, v = _qkv(xn, lp, cfg, cos, sin)
         attn = causal_attention(q, k, v, valid)
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)

@@ -646,14 +646,37 @@ def _rope_pair(
     )(qp, kp, cos, sin)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def rope_pair_packed(q, k, cos, sin, num_q_heads: int, num_k_heads: int):
-    """Inference-path fused rope for the GQA text stack: q (B, L, H*hd) and
-    k (B, L, Hkv*hd) rotated in one Pallas pass (no VJP — training keeps the
-    XLA rope). hd must be a lane multiple (text head_dim is 128)."""
-    return _rope_pair(
+    """Fused rope for the GQA text stack: q (B, L, H*hd) and k (B, L, Hkv*hd)
+    rotated in one Pallas pass. hd must be a lane multiple (text head_dim is
+    128). Differentiable: the rotation is orthogonal and the cos/sin tables
+    repeat halves (mrope_cos_sin), so the VJP is the SAME kernel with sin
+    negated — training's text stack uses this instead of the unfused XLA
+    rotate_half chain. cos/sin cotangents are zeros (positions are integers)."""
+    out, _ = _rope_pair_pk_fwd(q, k, cos, sin, num_q_heads, num_k_heads)
+    return out
+
+
+def _rope_pair_pk_fwd(q, k, cos, sin, h, h_k):
+    out = _rope_pair(
         q, k, cos.astype(jnp.float32), sin.astype(jnp.float32),
-        num_q_heads, cos.shape[-1], h_k=num_k_heads,
+        h, cos.shape[-1], h_k=h_k,
     )
+    return out, (cos, sin)
+
+
+def _rope_pair_pk_bwd(h, h_k, res, g):
+    cos, sin = res
+    gq, gk = g
+    dq, dk = _rope_pair(
+        gq, gk, cos.astype(jnp.float32), -sin.astype(jnp.float32),
+        h, cos.shape[-1], h_k=h_k,
+    )
+    return dq, dk, jnp.zeros_like(cos), jnp.zeros_like(sin)
+
+
+rope_pair_packed.defvjp(_rope_pair_pk_fwd, _rope_pair_pk_bwd)
 
 
 def _vis_fwd_kernel(

@@ -155,6 +155,45 @@ def test_rope_pair_packed_matches_xla_gqa():
     np.testing.assert_allclose(np.asarray(kr), np.asarray(k_ref), atol=1e-5)
 
 
+@pytest.mark.skipif(not ON_TPU, reason="fused rope kernel needs TPU")
+def test_rope_pair_packed_grad_matches_xla():
+    """The rope custom VJP (same kernel, sin negated) vs autodiff through the
+    XLA rotation — enables the fused rope on the TRAINING text stack
+    (language.text_forward fast path). Nontrivial downstream weights so the
+    q/k cotangents are not rotation-invariant."""
+    from padt_tpu.ops.pallas_attention import rope_pair_packed
+    from padt_tpu.ops.rope import apply_rotary
+
+    rng = np.random.RandomState(11)
+    b, l, h, hkv, hd = 2, 128, 4, 1, 128
+    q = jnp.asarray(rng.randn(b, l, h * hd) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, hkv * hd) * 0.3, jnp.float32)
+    wq = jnp.asarray(rng.randn(b, l, h * hd) * 0.5, jnp.float32)
+    wk = jnp.asarray(rng.randn(b, l, hkv * hd) * 0.5, jnp.float32)
+    inv = 1.0 / (10000 ** (np.arange(0, hd // 2) / (hd // 2)))
+    ang = np.arange(l)[:, None] * inv[None, :]
+    emb = np.concatenate([ang, ang], axis=-1)
+    cos = jnp.asarray(np.broadcast_to(np.cos(emb), (b, l, hd)), jnp.float32)
+    sin = jnp.asarray(np.broadcast_to(np.sin(emb), (b, l, hd)), jnp.float32)
+
+    def loss_pallas(q, k):
+        qr, kr = rope_pair_packed(q, k, cos, sin, h, hkv)
+        return jnp.sum(jnp.tanh(qr) * wq) + jnp.sum(jnp.tanh(kr) * wk)
+
+    def loss_xla(q, k):
+        qr = apply_rotary(q.reshape(b, l, h, hd), cos[:, :, None], sin[:, :, None])
+        kr = apply_rotary(k.reshape(b, l, hkv, hd), cos[:, :, None], sin[:, :, None])
+        return jnp.sum(jnp.tanh(qr.reshape(b, l, -1)) * wq) + jnp.sum(
+            jnp.tanh(kr.reshape(b, l, -1)) * wk
+        )
+
+    (lp, (dqp, dkp)) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(q, k)
+    (lx, (dqx, dkx)) = jax.value_and_grad(loss_xla, argnums=(0, 1))(q, k)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dqp), np.asarray(dqx), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dkp), np.asarray(dkx), atol=2e-5)
+
+
 def test_int8_generate_runs_tiny():
     """Full generate() with kv_cache_dtype='int8' on the tiny model: correct
     shapes, finite outputs, EOS bookkeeping intact."""
