@@ -306,4 +306,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from padt_tpu.utils.hostenv import wait_for_tpu
+
+    wait_for_tpu()  # bounded wait when the axon tunnel is transiently down
     main()

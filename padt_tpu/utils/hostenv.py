@@ -41,3 +41,57 @@ def cpu_subprocess_env(
             + f" --xla_force_host_platform_device_count={n_devices}"
         )
     return env
+
+
+def tpu_tunnel_expected() -> bool:
+    """True when this process would target the axon TPU tunnel: the plugin is
+    on the path and the CPU platform is not forced."""
+    import sys
+
+    if os.environ.get("JAX_PLATFORM_NAME", "") == "cpu":
+        return False
+    paths = os.environ.get("PYTHONPATH", "").split(os.pathsep) + sys.path
+    return any("axon" in p for p in paths if p)
+
+
+def wait_for_tpu(budget_s: Optional[float] = None, interval_s: float = 150.0) -> bool:
+    """Block until the TPU tunnel answers a fresh-subprocess probe, up to
+    `budget_s` (default PADT_TPU_WAIT_S or 3600). The tunnel aborts AND hangs
+    transiently (CLAUDE.md); a fresh process several minutes later recovers,
+    so long-lived entry points (bench.py, the driver's entry compile check)
+    wait here instead of failing on the first dead jax.devices(). Probes run
+    in subprocesses because a failed backend init poisons the parent's jax.
+    Returns True when the tunnel answered, False when the budget ran out
+    (callers proceed and fail loudly). No-op (True) when no tunnel is
+    expected."""
+    import subprocess
+    import sys
+    import time
+
+    if not tpu_tunnel_expected():
+        return True
+    budget_s = float(os.environ.get("PADT_TPU_WAIT_S", "3600")) if budget_s is None else budget_s
+    deadline = time.time() + budget_s
+    first = True
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=interval_s,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("wait_for_tpu: budget exhausted, proceeding anyway", file=sys.stderr)
+            return False
+        if first:
+            print(
+                f"wait_for_tpu: TPU tunnel down, retrying up to {int(budget_s)}s "
+                "(override: PADT_TPU_WAIT_S)",
+                file=sys.stderr,
+            )
+            first = False
+        time.sleep(min(interval_s, max(0.0, deadline - time.time())))
