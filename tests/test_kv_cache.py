@@ -155,12 +155,15 @@ def test_rope_pair_packed_matches_xla_gqa():
     np.testing.assert_allclose(np.asarray(kr), np.asarray(k_ref), atol=1e-5)
 
 
-@pytest.mark.skipif(not ON_TPU, reason="fused rope kernel needs TPU")
+@pytest.mark.smoke
 def test_rope_pair_packed_grad_matches_xla():
     """The rope custom VJP (same kernel, sin negated) vs autodiff through the
     XLA rotation — enables the fused rope on the TRAINING text stack
     (language.text_forward fast path). Nontrivial downstream weights so the
-    q/k cotangents are not rotation-invariant."""
+    q/k cotangents are not rotation-invariant. Runs natively on TPU and in
+    interpret mode on CPU (smoke)."""
+    import contextlib
+
     from padt_tpu.ops.pallas_attention import rope_pair_packed
     from padt_tpu.ops.rope import apply_rotary
 
@@ -187,7 +190,14 @@ def test_rope_pair_packed_grad_matches_xla():
             jnp.tanh(kr.reshape(b, l, -1)) * wk
         )
 
-    (lp, (dqp, dkp)) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(q, k)
+    if ON_TPU:
+        ctx = contextlib.nullcontext()
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+    with ctx:
+        (lp, (dqp, dkp)) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(q, k)
     (lx, (dqx, dkx)) = jax.value_and_grad(loss_xla, argnums=(0, 1))(q, k)
     np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dqp), np.asarray(dqx), atol=2e-5)
