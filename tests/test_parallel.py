@@ -31,10 +31,10 @@ def test_dryrun_multichip(n):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         capture_output=True,
         text=True,
-        timeout=560,
+        timeout=900,  # train + inference phases, one-core host
     )
     assert r.returncode == 0, r.stderr[-3000:]
-    assert "dryrun_multichip OK" in r.stdout
+    assert "dryrun_multichip OK (train+infer)" in r.stdout
 
 
 def test_sharded_generate_matches_single_device():
