@@ -1,10 +1,16 @@
-"""Straight-line reference transcription of the COCOeval protocol (bbox).
+"""Straight-line reference transcription of the COCOeval protocol (bbox+segm).
 
 An INDEPENDENT oracle for differentially testing padt_tpu.eval.coco_map: this
 follows the published pycocotools COCOeval algorithm step by step (per-image
 greedy matching at maxDets[-1], accumulate-time [0:maxDet] slicing, mergesort
 tie-breaking, try/except-truncated 101-point interpolation), with none of the
 vectorized structure of the production evaluator. Slow on purpose; test-only.
+
+The segm path carries its own RLE machinery (string parser + dense
+column-major fill + dense-mask IoU), written from the published maskApi format
+spec with NO code shared with padt_tpu.eval.rle — so the production codec's
+encode, its compressed-domain run-walk IoU (native/maskops.cc), and the segm
+mAP protocol are all under differential test at once.
 
 Reference oracle: `/root/reference/eval/evaluation_scripts/eval_coco.py:84-93`
 reports COCOeval(...).stats — this module reproduces that algorithm so the
@@ -17,6 +23,68 @@ IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
 MAX_DETS = [1, 10, 100]
 AREA_RNG = [[0.0, 1e10], [0.0, 32.0**2], [32.0**2, 96.0**2], [96.0**2, 1e10]]
+
+
+# ---------------------------------------------------------------------------
+# Independent RLE machinery (segm oracle). Written from the published maskApi
+# format spec: column-major runs starting with a zero-run; counts delta-coded
+# from the 3rd element; 5-bit groups, LSB first, bit 0x20 = continuation,
+# sign-extension when the last group has bit 0x10 set; chars offset by 48.
+# Deliberately scalar/slow; shares nothing with padt_tpu.eval.rle.
+# ---------------------------------------------------------------------------
+
+
+def rle_string_to_counts_oracle(s):
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts = []
+    pos = 0
+    while pos < len(s):
+        val, shift = 0, 0
+        while True:
+            group = ord(s[pos]) - 48
+            pos += 1
+            val |= (group & 0x1F) << shift
+            shift += 5
+            if not (group & 0x20):
+                if group & 0x10:  # sign-extend the final group
+                    val |= -1 << shift
+                break
+        if len(counts) > 2:
+            val += counts[-2]
+        counts.append(val)
+    return counts
+
+
+def rle_to_dense_oracle(rle):
+    """{'size': [H, W], 'counts': str|list} -> (H, W) bool, column-major fill."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = rle_string_to_counts_oracle(counts)
+    mask = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for c in counts:
+        if val:
+            mask[pos : pos + c] = True
+        pos += c
+        val = not val
+    assert pos <= h * w, (pos, h, w)
+    return mask.reshape((w, h)).T  # column-major
+
+
+def mask_iou_dense_oracle(d_rle, g_rle, crowd):
+    dm = rle_to_dense_oracle(d_rle)
+    gm = rle_to_dense_oracle(g_rle)
+    assert dm.shape == gm.shape, (dm.shape, gm.shape)
+    inter = float(np.logical_and(dm, gm).sum())
+    union = float(dm.sum()) if crowd else float(np.logical_or(dm, gm).sum())
+    return inter / union if union > 0 else 0.0
+
+
+def mask_area_oracle(rle):
+    return float(rle_to_dense_oracle(rle).sum())
 
 
 def _iou_one(d, g, crowd):
@@ -32,10 +100,22 @@ def _iou_one(d, g, crowd):
 
 
 def cocoeval_bbox(gts, dts):
+    return _cocoeval(gts, dts, "bbox")
+
+
+def cocoeval_segm(gts, dts):
+    """Segm-protocol stats: IoUs from dense decoded masks, detection areas
+    from mask areas (pycocotools loadRes for segm results:
+    area = maskUtils.area(segmentation)). GT 'area' is taken from the ann as
+    given, matching pycocotools (GT areas come from the dataset)."""
+    return _cocoeval(gts, dts, "segm")
+
+
+def _cocoeval(gts, dts, iou_type):
     """gts/dts: lists of COCO-style ann dicts -> the 12 COCOeval stats.
 
-    gt: {image_id, category_id, bbox [x,y,w,h], area, iscrowd}
-    dt: {image_id, category_id, bbox, score}
+    gt: {image_id, category_id, bbox [x,y,w,h], area, iscrowd, (segmentation)}
+    dt: {image_id, category_id, bbox|segmentation, score}
     """
     # ---- _prepare ----
     img_ids = sorted({a["image_id"] for a in gts} | {a["image_id"] for a in dts})
@@ -53,7 +133,10 @@ def cocoeval_bbox(gts, dts):
     for n, d in enumerate(dts):
         d = dict(d)
         d["id"] = n + 1
-        d["area"] = d["bbox"][2] * d["bbox"][3]  # loadRes bbox area
+        if iou_type == "segm":
+            d["area"] = mask_area_oracle(d["segmentation"])  # loadRes segm area
+        else:
+            d["area"] = d["bbox"][2] * d["bbox"][3]  # loadRes bbox area
         _dts[d["image_id"], d["category_id"]].append(d)
 
     # ---- computeIoU per (img, cat): dts score-sorted (mergesort), top-100 ----
@@ -66,7 +149,12 @@ def cocoeval_bbox(gts, dts):
             m = np.zeros((len(dt), len(gt)))
             for di, d in enumerate(dt):
                 for gi, g in enumerate(gt):
-                    m[di, gi] = _iou_one(d["bbox"], g["bbox"], bool(g.get("iscrowd", 0)))
+                    if iou_type == "segm":
+                        m[di, gi] = mask_iou_dense_oracle(
+                            d["segmentation"], g["segmentation"], bool(g.get("iscrowd", 0))
+                        )
+                    else:
+                        m[di, gi] = _iou_one(d["bbox"], g["bbox"], bool(g.get("iscrowd", 0)))
             ious[i, c] = m
 
     # ---- evaluateImg(img, cat, aRng, maxDet = maxDets[-1]) ----
