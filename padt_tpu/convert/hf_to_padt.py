@@ -260,6 +260,7 @@ def config_from_hf(hf_config: Dict[str, Any]) -> PaDTConfig:
         video_token_id=hf_config.get("video_token_id", 151656),
         vision_start_token_id=hf_config.get("vision_start_token_id", 151652),
         eos_token_id=hf_config.get("eos_token_id", 151645),
+        pad_token_id=hf_config.get("pad_token_id") or 151643,
     )
 
 

@@ -32,23 +32,35 @@ cd "$(dirname "$0")/.."
 : "${PADT_HF_CKPT:?stage the released HF checkpoint and set PADT_HF_CKPT}"
 : "${PADT_DEMO_IMG:?stage the demo image and set PADT_DEMO_IMG}"
 NATIVE=${PADT_NATIVE_DIR:-ckpts/padt_pro_3b_tpu}
+# Rehearsal knobs (tests/test_pipeline_rehearsal.py drives every stage of
+# this script with a tiny synthetic checkpoint so the weights-arrival path is
+# KNOWN to work end-to-end, not merely staged):
+#   PADT_GOLDEN_VRTS - override the expected demo VRT sequence (real default
+#                      below; the rehearsal injects the tiny model's output)
+#   PADT_DEMO_ARGS   - extra scripts/demo.py args (e.g. --max_new_tokens 8)
+#   PADT_INFER_ARGS  - extra infer args for the eval stages (argparse
+#                      last-wins, so e.g. --batch_size 2 overrides)
+GOLDEN=${PADT_GOLDEN_VRTS-122,107,138,256,135}
 
 echo "== 1/3 convert HF -> native =="
 python scripts/convert_checkpoint.py --src "$PADT_HF_CKPT" --dst "$NATIVE"
 
 echo "== 2/3 golden demo gate =="
+# shellcheck disable=SC2086
 python scripts/demo.py \
   --model "$NATIVE" \
   --image "$PADT_DEMO_IMG" \
   --prompt 'the car is on the left side of the horse' \
-  --check-golden
+  --check-golden --golden_vrts "$GOLDEN" ${PADT_DEMO_ARGS:-}
 
 if [[ -n "${PADT_COCO_VAL:-}" ]]; then
   echo "== 3/3a COCO OVD eval =="
-  MODEL="$NATIVE" DATA="$PADT_COCO_VAL" bash run_scripts/eval_coco.sh
+  # shellcheck disable=SC2086
+  MODEL="$NATIVE" DATA="$PADT_COCO_VAL" bash run_scripts/eval_coco.sh ${PADT_INFER_ARGS:-}
 fi
 if [[ -n "${PADT_REFCOCO:-}" ]]; then
   echo "== 3/3b RefCOCO eval =="
-  MODEL="$NATIVE" DATA_DIR="$PADT_REFCOCO" bash run_scripts/eval_refcoco.sh
+  # shellcheck disable=SC2086
+  MODEL="$NATIVE" DATA_DIR="$PADT_REFCOCO" bash run_scripts/eval_refcoco.sh ${PADT_INFER_ARGS:-}
 fi
 echo "ALL GATES PASSED"
