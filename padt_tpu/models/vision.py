@@ -85,18 +85,28 @@ def init_vision_params(cfg: VisionConfig, key, dtype=jnp.bfloat16):
     }
 
 
-def _pad_head_lanes(blocks, h: int, hd: int):
-    """Zero-pad per-head columns of qkv_w/qkv_b and rows of proj_w to _LANE.
-    Weight-sized one-time cost per forward (~0.5 GB/s-scale, negligible)."""
+def _pad_head_lanes(blocks, h: int, hd: int, qkv_too: bool = True):
+    """Zero-pad per-head rows of proj_w (and, when `qkv_too`, per-head
+    columns of qkv_w/qkv_b) to _LANE. Weight-sized one-time cost per forward
+    (~0.5 GB/s-scale, negligible).
+
+    `qkv_too=False` is the fast path: the attention kernels unpack the
+    UNPADDED fused qkv buffer and pad heads in their rope pass
+    (ops/pallas_attention.py::_unpack_rope_pad), so the qkv projection runs
+    at real-hd FLOPs (hd=80: 1.6x fewer than padded) and only the attention
+    output carries 128-lane head tiles into the row-padded proj_w."""
     pad = _LANE - hd
     depth, d, _ = blocks["qkv_w"].shape
-    qkv_w = blocks["qkv_w"].reshape(depth, d, 3, h, hd)
-    qkv_w = jnp.pad(qkv_w, [(0, 0)] * 4 + [(0, pad)]).reshape(depth, d, 3 * h * _LANE)
-    qkv_b = blocks["qkv_b"].reshape(depth, 3, h, hd)
-    qkv_b = jnp.pad(qkv_b, [(0, 0)] * 3 + [(0, pad)]).reshape(depth, 3 * h * _LANE)
     proj_w = blocks["proj_w"].reshape(depth, h, hd, d)
     proj_w = jnp.pad(proj_w, [(0, 0), (0, 0), (0, pad), (0, 0)]).reshape(depth, h * _LANE, d)
-    return dict(blocks, qkv_w=qkv_w, qkv_b=qkv_b, proj_w=proj_w)
+    out = dict(blocks, proj_w=proj_w)
+    if qkv_too:
+        qkv_w = blocks["qkv_w"].reshape(depth, d, 3, h, hd)
+        qkv_w = jnp.pad(qkv_w, [(0, 0)] * 4 + [(0, pad)]).reshape(depth, d, 3 * h * _LANE)
+        qkv_b = blocks["qkv_b"].reshape(depth, 3, h, hd)
+        qkv_b = jnp.pad(qkv_b, [(0, 0)] * 3 + [(0, pad)]).reshape(depth, 3 * h * _LANE)
+        out.update(qkv_w=qkv_w, qkv_b=qkv_b)
+    return out
 
 
 def _block(x, lp, cos, sin, seg, cfg: VisionConfig, windowed_slots=None):
@@ -172,13 +182,19 @@ def vision_forward(
     blocks = params["blocks"]
     cos_a, sin_a = cos, sin
     if use_pallas() and cfg.head_dim % _LANE != 0:
-        # Lane-pad each head in the qkv/proj weights so the projections emit
-        # Mosaic-legal (blk, 128) head tiles directly: zero q/k pad lanes add
-        # nothing to scores, zero v pad lanes keep outputs exact, zero proj
-        # rows absorb them — no extra elementwise HBM passes anywhere.
-        blocks = _pad_head_lanes(blocks, cfg.num_heads, cfg.head_dim)
-        pad = [(0, 0), (0, 0), (0, _LANE - cfg.head_dim)]
-        cos_a, sin_a = jnp.pad(cos, pad), jnp.pad(sin, pad)
+        if s % 128 == 0:
+            # Fast path: keep qkv UNPADDED (projection at real-hd FLOPs); the
+            # attention kernels unpack+rope+pad heads to Mosaic-legal 128-lane
+            # tiles in one pass and emit (B, S, H*128) into row-padded proj_w
+            # (zero pad lanes -> zero proj rows, outputs exact).
+            blocks = _pad_head_lanes(blocks, cfg.num_heads, cfg.head_dim, qkv_too=False)
+        else:
+            # Odd seq lengths the unpack kernel can't tile: lane-pad qkv too so
+            # the projections emit 128-lane head tiles directly; zero-padded
+            # cos/sin keep the rotation inert on pad lanes.
+            blocks = _pad_head_lanes(blocks, cfg.num_heads, cfg.head_dim)
+            pad = [(0, 0), (0, 0), (0, _LANE - cfg.head_dim)]
+            cos_a, sin_a = jnp.pad(cos, pad), jnp.pad(sin, pad)
 
     is_full = jnp.zeros((cfg.depth,), dtype=bool).at[jnp.asarray(cfg.fullatt_block_indexes)].set(True)
     slot_mode = pack_index is not None

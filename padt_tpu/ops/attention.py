@@ -171,7 +171,11 @@ def fused_vision_attention_qkv(
     back to slicing + the standard paths when off-TPU or on odd shapes."""
     b, s, dh3 = qkv.shape
     d = dh3 // (3 * num_heads)
-    if use_pallas() and s % 128 == 0 and d % 128 == 0:
+    if use_pallas() and s % 128 == 0 and (d % 128 == 0 or d < 128):
+        # d < 128 (hd=80 heads): the kernel unpacks the UNPADDED qkv and pads
+        # each head to a 128-lane tile in its rope pass — output is
+        # (B, S, H*128); callers keep the output-projection rows zero-padded
+        # (models/vision.py::_pad_head_lanes)
         from .pallas_attention import vision_flash_attention_qkv
 
         rd = rope_dim or d
@@ -203,7 +207,9 @@ def window_attention_qkv(
     assert s % win == 0, (s, win)
     rd = rope_dim or d
     real_scale = (1.0 / (rd**0.5)) if scale is None else scale
-    if use_pallas() and s % 128 == 0 and d % 128 == 0:
+    if use_pallas() and s % 128 == 0 and (d % 128 == 0 or d < 128):
+        # d < 128: unpadded fused qkv; kernel pads heads to 128-lane tiles
+        # (see fused_vision_attention_qkv above) — output is (B, S, H*128)
         from .pallas_attention import vision_window_attention_qkv
 
         return vision_window_attention_qkv(qkv, cos, sin, seg, num_heads, win, real_scale, rd)

@@ -679,6 +679,80 @@ def _rope_pair_pk_bwd(h, h_k, res, g):
 rope_pair_packed.defvjp(_rope_pair_pk_fwd, _rope_pair_pk_bwd)
 
 
+# Lane width each head is padded to for the attention kernels' BlockSpec
+# lane-block indexing (Mosaic lane tile = 128)
+_PAD_LANE = 128
+
+
+def _unpack_rope_kernel(
+    qkv_ref, cos_ref, sin_ref, oq_ref, ok_ref, ov_ref,
+    *, h: int, hd: int, rope_dim: int,
+):
+    """Unpack H heads of `hd` (<128) lanes from the UNPADDED fused qkv tile,
+    apply fp32 rope to q/k, and emit q_rot/k_rot/v with each head zero-padded
+    to a 128-lane tile. The 80-lane head slices are static-offset lane
+    relayouts on VMEM-resident data (VPU); measured cheaper than the padded
+    rope pass it replaces while the qkv projection runs at unpadded FLOPs
+    (scripts/micro_vis_unpack.py: rope 3.73 -> 3.38 ms, projection
+    4.31 -> 3.28 ms at 1/6 of the 3B/b96 token count)."""
+    x = qkv_ref[0]  # (blk, 3*H*hd) storage dtype
+    c = cos_ref[0].astype(jnp.float32)  # (blk, hd)
+    s = sin_ref[0].astype(jnp.float32)
+    blk = x.shape[0]
+    odt = oq_ref.dtype
+    pad = jnp.zeros((blk, _PAD_LANE - hd), odt)
+
+    # rope math per head in fp32, but every concat PIECE is cast back to the
+    # output dtype first — fp32 concat buffers at H=16 blew the 16 MB scoped
+    # VMEM limit at 3B prefill shapes (17.56M with blk 256); v is never upcast
+    def rot(v):
+        vf = v.astype(jnp.float32)
+        return (vf * c + _rot_half_lanes(vf, rope_dim) * s).astype(odt)
+
+    qs, ks, vs = [], [], []
+    for i in range(h):
+        q_i = x[:, hd * i : hd * (i + 1)]
+        k_i = x[:, (h + i) * hd : (h + i + 1) * hd]
+        v_i = x[:, (2 * h + i) * hd : (2 * h + i + 1) * hd]
+        qs += [rot(q_i), pad]
+        ks += [rot(k_i), pad]
+        vs += [v_i.astype(odt), pad]
+    oq_ref[0] = jnp.concatenate(qs, axis=-1)
+    ok_ref[0] = jnp.concatenate(ks, axis=-1)
+    ov_ref[0] = jnp.concatenate(vs, axis=-1)
+
+
+def _unpack_rope_pad(qkv, cos, sin, h: int, rope_dim: int):
+    """(B, S, 3*H*hd) UNPADDED fused qkv-projection output + (B, S, hd) fp32
+    tables -> (q_rot, k_rot, v) each (B, S, H*128). One HBM pass; replaces
+    both the weight-level 80->128 lane padding (1.6x projection FLOPs) and
+    the separate rope pass."""
+    b, s, dh3 = qkv.shape
+    hd = dh3 // (3 * h)
+    assert hd <= _PAD_LANE and cos.shape[-1] == hd, (qkv.shape, h, cos.shape)
+    # blk 256: double-buffered in+3 outs ~10 MB VMEM (768 OOMs at 24+ MB)
+    blk = 256 if s % 256 == 0 else 128
+    assert s % blk == 0, (s, blk)
+    kernel = functools.partial(
+        _unpack_rope_kernel, h=h, hd=hd, rope_dim=rope_dim
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, s // blk),
+        in_specs=[
+            pl.BlockSpec((1, blk, dh3), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, blk, hd), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, blk, hd), lambda bi, si: (bi, si, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, blk, h * _PAD_LANE), lambda bi, si: (bi, si, 0))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, s, h * _PAD_LANE), qkv.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32))
+    return out
+
+
 def _vis_fwd_kernel(
     lo_ref, hi_ref, q_seg_ref, k_seg_ref, q_ref, k_ref, v_ref, o_ref,
     *, blk_k: int, scale: float,
@@ -728,16 +802,23 @@ def _vis_flash_raw(qp, kp, vp, cos, sin, seg, scale, h: int, rope_dim: int,
     """qp/kp: (B, S, H*hd) packed (or the fused qkv buffer, see _rope_pair);
     vp: (B, S, >=H*hd) with v heads starting at lane-block `v_blk_offset`;
     cos/sin: (B, S, hd) fp32; seg: (B, S)."""
-    b, s, _ = qp.shape
     d = cos.shape[-1]
+    k_off = h if v_blk_offset else 0  # fused qkv buffer: k heads follow q heads
+    q_rot, k_rot = _rope_pair(qp, kp, cos, sin, h, rope_dim, k_blk_offset=k_off)
+    return _vis_attn_call(q_rot, k_rot, vp, seg, scale, h, d, v_blk_offset)
+
+
+def _vis_attn_call(q_rot, k_rot, vp, seg, scale, h: int, d: int,
+                   v_blk_offset: int = 0):
+    """Segment flash attention over PRE-ROTATED packed (B, S, H*d) q/k.
+    `d` is the per-head lane width (a 128 multiple); v heads start at
+    lane-block `v_blk_offset` of vp."""
+    b, s, _ = q_rot.shape
     dh = h * d
     blk_env = _VIS_BLK_OVERRIDE
     blk_q = blk_k = (blk_env if blk_env and s % blk_env == 0 else _pick_block(s))
     n_qb = s // blk_q
     lo, hi = _kblock_ranges(seg, seg, blk_q, blk_k, causal=False)
-
-    k_off = h if v_blk_offset else 0  # fused qkv buffer: k heads follow q heads
-    q_rot, k_rot = _rope_pair(qp, kp, cos, sin, h, rope_dim, k_blk_offset=k_off)
 
     grid = (b, h, n_qb)
     kernel = functools.partial(_vis_fwd_kernel, blk_k=blk_k, scale=scale)
@@ -756,7 +837,7 @@ def _vis_flash_raw(qp, kp, vp, cos, sin, seg, scale, h: int, rope_dim: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s, dh), qp.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s, dh), q_rot.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -810,13 +891,19 @@ def _vis_win_kernel(q_ref, k_ref, v_ref, kval_ref, o_ref, *, scale: float, win: 
 def _vis_win_raw(qkv, cos, sin, seg, scale, h: int, rope_dim: int, win: int):
     """Slot-layout windowed attention over the fused (B, S, 3*H*d) qkv buffer
     (same packed-lane-block layout as `_vis_flash_raw(v_blk_offset=2h)`)."""
-    b, s, _ = qkv.shape
     d = cos.shape[-1]
+    q_rot, k_rot = _rope_pair(qkv, qkv, cos, sin, h, rope_dim, k_blk_offset=h)
+    return _vis_win_call(q_rot, k_rot, qkv, seg, scale, h, d, win, v_blk_offset=2 * h)
+
+
+def _vis_win_call(q_rot, k_rot, vp, seg, scale, h: int, d: int, win: int,
+                  v_blk_offset: int = 0):
+    """Windowed-slot attention launch over PRE-ROTATED packed (B, S, H*d)
+    q/k; v heads start at lane-block `v_blk_offset` of vp."""
+    b, s, _ = q_rot.shape
     blk = _pick_block(s)
     assert blk % (2 * win) == 0 and s % blk == 0, (s, blk, win)
     n_qb = s // blk
-
-    q_rot, k_rot = _rope_pair(qkv, qkv, cos, sin, h, rope_dim, k_blk_offset=h)
     kval = (seg >= 0).astype(jnp.int32)[:, None, :]  # (B, 1, S)
 
     grid = (b, h, n_qb)
@@ -827,15 +914,15 @@ def _vis_win_raw(qkv, cos, sin, seg, scale, h: int, rope_dim: int, win: int):
         in_specs=[
             pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, hi_)),  # q
             pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, hi_)),  # k
-            pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, 2 * h + hi_)),  # v
+            pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, v_blk_offset + hi_)),  # v
             pl.BlockSpec((1, 1, blk), lambda bi, hi_, qi: (bi, 0, qi)),  # kval
         ],
         out_specs=pl.BlockSpec((1, blk, d), lambda bi, hi_, qi: (bi, qi, hi_)),
-        out_shape=jax.ShapeDtypeStruct((b, s, h * d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s, h * d), q_rot.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
-    )(q_rot, k_rot, qkv, kval)
+    )(q_rot, k_rot, vp, kval)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -856,10 +943,20 @@ def _vis_win_fwd(qkv, cos, sin, seg, h, win, scale, rope_dim):
     assert qkv.shape[-1] == 3 * h * d, (qkv.shape, h, d)
     rd = rope_dim or d
     real_scale = (1.0 / (rd**0.5)) if scale is None else scale
-    out = _vis_win_raw(
-        qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), seg.astype(jnp.int32),
-        real_scale, h, rd, win,
-    )
+    if d % _PAD_LANE != 0:
+        # UNPADDED fused qkv (hd=80 heads): unpack+rope+pad in one kernel,
+        # attention on 128-lane head tiles; output is (B, S, H*128) with
+        # zero pad lanes per head (callers keep proj weights row-padded)
+        q_rot, k_rot, v_pad = _unpack_rope_pad(qkv, cos, sin, h, rd)
+        out = _vis_win_call(
+            q_rot, k_rot, v_pad, seg.astype(jnp.int32), real_scale, h,
+            _PAD_LANE, win,
+        )
+    else:
+        out = _vis_win_raw(
+            qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), seg.astype(jnp.int32),
+            real_scale, h, rd, win,
+        )
     return out, (qkv, cos, sin, seg)
 
 
@@ -956,11 +1053,18 @@ def _vis_qkv_fwd(qkv, cos, sin, seg, h, scale, rope_dim):
     assert qkv.shape[-1] == 3 * h * d, (qkv.shape, h, d)
     rd = rope_dim or d
     real_scale = (1.0 / (rd**0.5)) if scale is None else scale
-    out = _vis_flash_raw(
-        qkv, qkv, qkv,
-        cos.astype(jnp.float32), sin.astype(jnp.float32), seg.astype(jnp.int32),
-        real_scale, h, rd, v_blk_offset=2 * h,
-    )
+    if d % _PAD_LANE != 0:
+        # UNPADDED fused qkv (hd=80 heads): see _vis_win_fwd
+        q_rot, k_rot, v_pad = _unpack_rope_pad(qkv, cos, sin, h, rd)
+        out = _vis_attn_call(
+            q_rot, k_rot, v_pad, seg.astype(jnp.int32), real_scale, h, _PAD_LANE
+        )
+    else:
+        out = _vis_flash_raw(
+            qkv, qkv, qkv,
+            cos.astype(jnp.float32), sin.astype(jnp.float32), seg.astype(jnp.int32),
+            real_scale, h, rd, v_blk_offset=2 * h,
+        )
     return out, (qkv, cos, sin, seg)
 
 
@@ -968,9 +1072,16 @@ def _vis_qkv_bwd(h, scale, rope_dim, res, g):
     qkv, cos, sin, seg = res
     b, s, _ = qkv.shape
     d = cos.shape[-1]
+    if g.shape[-1] != h * d:
+        # unpadded-input path: the forward output carries 128-lane padded
+        # heads; the pad lanes are zeros fed into zero proj rows, so their
+        # cotangents are simply dropped
+        g = g.reshape(b, s, h, -1)[..., :d]
+    else:
+        g = g.reshape(b, s, h, d)
     q, k, v = (x.reshape(b, s, h, d) for x in jnp.split(qkv, 3, axis=-1))
     dq, dk, dv, dcos, dsin, _ = _vis_bwd(
-        scale, rope_dim, (q, k, v, cos, sin, seg), g.reshape(b, s, h, d)
+        scale, rope_dim, (q, k, v, cos, sin, seg), g
     )
     dqkv = jnp.concatenate(
         [x.reshape(b, s, h * d) for x in (dq, dk, dv)], axis=-1

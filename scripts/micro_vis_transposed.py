@@ -54,8 +54,11 @@ def _chain(op, *operands):
         def body(carry, _):
             xx, acc = carry
             y = op(xx, *rest)
-            s = y[(0,) * y.ndim].astype(jnp.float32)
-            xx = xx + (s * 1e-30).astype(xx.dtype)
+            # consume EVERY output element: a single-element read lets XLA
+            # narrow the matmul to one dot product (first version of this
+            # script measured dispatch latency, not FLOPs)
+            s = jnp.sum(y.astype(jnp.float32)) * 1e-30
+            xx = xx + s.astype(xx.dtype)
             return (xx, acc + s), None
 
         (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0.0)), None, length=K)

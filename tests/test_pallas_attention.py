@@ -273,3 +273,82 @@ def test_window_kernel_matches_xla(d):
     np.testing.assert_allclose(
         np.asarray(out)[valid], np.asarray(ref)[valid], rtol=2e-3, atol=2e-3
     )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU (unpack kernel lane relayouts)")
+@pytest.mark.parametrize("windowed", [False, True])
+def test_unpadded_qkv_unpack_pad_contract(windowed):
+    """hd=80 fused-qkv paths take the UNPADDED qkv buffer and emit (B,S,H*128)
+    with zero pad lanes per head (ops/pallas_attention.py::_unpack_rope_pad).
+    Checks the real lanes against the XLA oracle and the pad-lane zeros."""
+    b, s, h, d, win = 2, 256, 4, 80, 64
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(b, s, 3 * h * d).astype(np.float32) * 0.3)
+    cos, sin = _mk_rope(b, s, d)
+    if windowed:
+        seg = np.full((b, s), -1, np.int32)
+        for bi in range(b):
+            for wI in range(s // win):
+                fill = rng.randint(8, win + 1) // 4 * 4
+                seg[bi, wI * win : wI * win + fill] = wI
+    else:
+        seg = np.sort(rng.randint(0, 4, size=(b, s)), axis=1).astype(np.int32)
+        seg[:, -12:] = -1
+    seg = jnp.asarray(seg)
+
+    def call(qkv):
+        if windowed:
+            return A.window_attention_qkv(qkv, cos, sin, seg, h, win=win)
+        return A.fused_vision_attention_qkv(qkv, cos, sin, seg, h)
+
+    os.environ["PADT_PALLAS"] = "0"
+    try:
+        ref = call(qkv)  # (B, S, H*80)
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+    os.environ["PADT_PALLAS"] = "1"
+    try:
+        out = call(qkv)  # (B, S, H*128) padded head tiles
+    finally:
+        os.environ["PADT_PALLAS"] = "auto"
+
+    assert out.shape == (b, s, h * 128), out.shape
+    out4 = np.asarray(out).reshape(b, s, h, 128)
+    valid = np.asarray(seg) >= 0
+    np.testing.assert_allclose(
+        out4[..., :d][valid], np.asarray(ref).reshape(b, s, h, d)[valid],
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_array_equal(out4[..., d:][valid], 0.0)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU")
+def test_unpadded_qkv_gradients():
+    """Backward through the unpadded-qkv path: dqkv matches the XLA oracle
+    (pad-lane cotangents are dropped; dqkv keeps the UNPADDED shape)."""
+    b, s, h, d = 2, 256, 4, 80
+    rng = np.random.RandomState(9)
+    qkv = jnp.asarray(rng.randn(b, s, 3 * h * d).astype(np.float32) * 0.3)
+    cos, sin = _mk_rope(b, s, d)
+    seg_np = np.zeros((b, s), np.int32)
+    seg_np[:, 128:] = 1
+    seg_np[:, -16:] = -1
+    seg = jnp.asarray(seg_np)
+    # head-dependent weighting so grads differ per lane
+    wv = jnp.asarray(rng.randn(h * d).astype(np.float32))
+
+    def loss(qkv, pallas):
+        os.environ["PADT_PALLAS"] = "1" if pallas else "0"
+        try:
+            o = A.fused_vision_attention_qkv(qkv, cos, sin, seg, h)
+        finally:
+            os.environ["PADT_PALLAS"] = "auto"
+        if o.shape[-1] != h * d:  # narrow padded output to real lanes
+            o = o.reshape(b, s, h, -1)[..., :d].reshape(b, s, h * d)
+        mask = (seg >= 0)[:, :, None]
+        return ((o * wv) * mask).sum()
+
+    gp = jax.grad(lambda x: loss(x, True))(qkv)
+    gx = jax.grad(lambda x: loss(x, False))(qkv)
+    assert gp.shape == qkv.shape
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=5e-3, atol=5e-3)
