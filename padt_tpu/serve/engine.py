@@ -653,6 +653,12 @@ class Request:
     uid: Any = None
     prefix: Optional[SharedPrefix] = None
     suffix_ids: Optional[np.ndarray] = None
+    # host scheduling hint: how many tokens this request is EXPECTED to emit
+    # before EOS (task-type stats: REC ~25, OVD ~200...). Budgets bound the
+    # device loop; expectations size decode chunks so slots that EOS early
+    # are harvested (and their slots refilled) promptly. Never affects
+    # outputs — only chunk boundaries (greedy decoding is prefix-stable).
+    expected_new_tokens: Optional[int] = None
 
 
 @dataclass
@@ -717,6 +723,9 @@ class ServeEngine:
         force_accept: bool = False,  # benchmark-only: K-accept ceiling timing
         suffix_bucket: int = _SUFFIX_K,  # prefix-cached requests' max suffix length
         prefix_cache_entries: int = 8,  # device-resident prefix-KV LRU size
+        budget_blind: bool = False,  # sizer ignores budgets (bench: emulates the
+        #                              real-weights regime where every budget is
+        #                              an uninformative 1024 and EOS stops slots)
     ):
         self.params = params
         self.cfg = cfg
@@ -743,6 +752,7 @@ class ServeEngine:
         self.speculative = int(speculative)
         self.oracle_draft_seq = oracle_draft_seq
         self.force_accept = force_accept
+        self.budget_blind = budget_blind
         # spec verify writes K rows past write_pos before acceptance is known:
         # reserve K headroom so a slot at its last token never clamps back
         # onto live rows
@@ -1032,17 +1042,32 @@ class ServeEngine:
                     break
 
     def _dispatch_chunk(self, ctx):
-        """Dispatch one budget-aware decode chunk (async — no readback).
+        """Dispatch one budget/EOS-aware decode chunk (async — no readback).
 
-        No active slot can finish before its remaining budget runs out
-        (EOS can come earlier — the while_loop early-exits then), so run
-        min(remaining) steps in ONE dispatch, bounded to
-        [chunk_steps, max_chunk_steps]: long stretches sync ~4x less
-        often, finishing slots still harvest promptly."""
-        remaining = [
-            min(q.max_new_tokens, self.max_new_tokens) - int(ctx.prev_n_gen[s])
-            for s, q in ctx.occupant.items()
-        ]
+        Sizing per slot: a slot finishes at its remaining BUDGET at the
+        latest (device truth), but usually EOSes near its EXPECTED length —
+        the per-request `expected_new_tokens` hint, or (when absent) an
+        online p90 of this run's observed early-EOS lengths. min over slots,
+        bounded to [chunk_steps, max_chunk_steps]: long stretches sync ~4x
+        less often; slots that finish mid-chunk only waste slot-steps to the
+        chunk boundary, so expectation-sized chunks harvest them (and refill
+        their slots) promptly. Under-estimates only cost extra syncs;
+        over-estimates are bounded by the budget. `budget_blind` removes the
+        budget bound from the SIZER only (bench: emulates real-weights
+        serving where every budget is an uninformative max_new_tokens)."""
+        est_default = None
+        if len(ctx.obs_lens) >= 8:
+            est_default = int(np.percentile(list(ctx.obs_lens), 90))
+        remaining = []
+        for s, q in ctx.occupant.items():
+            n_gen = int(ctx.prev_n_gen[s])
+            rem_budget = min(q.max_new_tokens, self.max_new_tokens) - n_gen
+            est = q.expected_new_tokens if q.expected_new_tokens is not None else est_default
+            if self.budget_blind:
+                rem = (est - n_gen) if est is not None else self.max_chunk_steps
+            else:
+                rem = min(est - n_gen, rem_budget) if est is not None else rem_budget
+            remaining.append(max(rem, 1))
         chunk_n = int(np.clip(min(remaining), self.chunk_steps, self.max_chunk_steps))
         ctx.t_chunk = time.perf_counter()
         self.state = self._chunk(self.params, self.state, jnp.asarray(chunk_n, jnp.int32))
@@ -1068,6 +1093,11 @@ class ServeEngine:
             for jd, s in enumerate(done):
                 q = ctx.occupant.pop(s)
                 ng = int(n_gen[s])
+                # online length stats for the chunk sizer: EOS'd strictly
+                # before budget = an uncensored completion-length observation
+                # (budget-stopped lengths are censored — skipped)
+                if ng < min(q.max_new_tokens, self.max_new_tokens):
+                    ctx.obs_lens.append(ng)
                 ctx.results.append(
                     Completion(
                         uid=q.uid,
@@ -1132,6 +1162,9 @@ class RunCtx:
         self.prev_n_gen = None
         self.t_start = 0.0
         self.t_chunk = 0.0
+        # observed early-EOS completion lengths (uncensored), for the
+        # expectation-aware chunk sizer's online p90 fallback
+        self.obs_lens: deque = deque(maxlen=256)
 
 
 class MultiEngine:

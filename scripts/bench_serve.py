@@ -175,6 +175,14 @@ def main():
             SharedPrefix(key=j, batch=psample, rope_delta=pdelta) for j in range(prefix_n)
         ]
         suffix_ids = np.arange(1000, 1000 + w["prompt_extra"], dtype=np.int32)
+    # EOS-aware chunk-sizing A/B (VERDICT r3 #8): PADT_SERVE_BLIND=1 blinds
+    # the host sizer to budgets (the real-weights regime — every budget is an
+    # uninformative max_new_tokens; per-request device stops stand in for
+    # EOS); PADT_SERVE_EXPECTED=1 additionally attaches per-request
+    # expected-length hints (task-type stats). BLIND alone exercises the
+    # online p90 estimator fallback.
+    blind = os.environ.get("PADT_SERVE_BLIND", "0") == "1"
+    expected_hints = os.environ.get("PADT_SERVE_EXPECTED", "0") == "1"
     eng = ServeEngine(
         params, cfg, n_slots=w["n_slots"], max_new_tokens=max_new,
         prompt_len=prompt_len, prefill_bucket=w["bucket"],
@@ -183,16 +191,19 @@ def main():
         force_accept=os.environ.get("PADT_SERVE_SPEC_FORCE", "0") == "1",
         suffix_bucket=-(-w["prompt_extra"] // 32) * 32 if prefix_n else 32,
         prefix_cache_entries=int(os.environ.get("PADT_SERVE_PREFIX_ENTRIES", "16")),
+        budget_blind=blind,
     )
+    exp = (lambda i: budgets[i]) if expected_hints else (lambda i: None)
     if prefix_n:
         reqs = [
             Request(prefix=shared_prefixes[i % prefix_n], suffix_ids=suffix_ids,
-                    max_new_tokens=budgets[i], uid=i)
+                    max_new_tokens=budgets[i], uid=i, expected_new_tokens=exp(i))
             for i in range(w["n_requests"])
         ]
     else:
         reqs = [
-            Request(batch=sample, rope_delta=delta, max_new_tokens=budgets[i], uid=i)
+            Request(batch=sample, rope_delta=delta, max_new_tokens=budgets[i], uid=i,
+                    expected_new_tokens=exp(i))
             for i in range(w["n_requests"])
         ]
     # warm the compiles outside the timed run (prefill/insert/chunk, both
@@ -272,6 +283,8 @@ def main():
                 if stats.decode_steps else None
             ),
             "schedule": sched,
+            "budget_blind": blind,
+            "expected_hints": expected_hints,
             "fifo_tokens_per_sec": round(fifo_tps, 2) if fifo_tps else None,
             "naive_tokens_per_sec": round(naive_tps, 2) if naive_tps else None,
             "prefix_unique_images": prefix_n or None,

@@ -534,3 +534,87 @@ def test_engine_video_request_matches_generate():
         np.testing.assert_array_equal(c.tokens, ref_tok, err_msg=f"req {uid} tokens diverged")
         hid = np.asarray(c.hidden, np.float32)[: c.n_gen]
         np.testing.assert_allclose(hid, ref_hid, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.smoke
+def test_engine_expected_length_chunking():
+    """EOS-aware chunk sizing (Request.expected_new_tokens + budget_blind).
+
+    Regime: budgets are uninformative to the sizer (budget_blind — the
+    real-weights serving shape, where every budget is max_new_tokens and EOS
+    stops slots) and one long-tail request keeps chunks running. Blind
+    max-size chunks strand early-finishing slots until the chunk boundary;
+    expectation hints size chunks near the earliest expected finish, so those
+    slots harvest + refill promptly: higher slot-step utilization, identical
+    tokens."""
+    cfg, params, batches = _setup()
+    budgets = [14, 3, 3, 4, 3]  # device truth: stands in for early EOS
+    max_new = 16
+    prompt_len = batches[0].data["input_ids"].shape[1]
+
+    def run(expected, blind):
+        eng = ServeEngine(
+            params, cfg, n_slots=3, max_new_tokens=max_new, prompt_len=prompt_len,
+            prefill_bucket=1, chunk_steps=2, max_chunk_steps=16, patch_bucket=128,
+            budget_blind=blind,
+        )
+        reqs = [
+            Request(batch=b.data, rope_delta=int(b.rope_deltas[0]), max_new_tokens=bud,
+                    uid=i, expected_new_tokens=(bud if expected else None))
+            for i, (b, bud) in enumerate(zip(batches, budgets))
+        ]
+        results, stats = eng.run(reqs, schedule="longest_first")
+        return {c.uid: c for c in results}, stats
+
+    base, s_base = run(expected=False, blind=False)    # budget-aware (today)
+    blind, s_blind = run(expected=False, blind=True)   # uninformative budgets
+    hinted, s_hint = run(expected=True, blind=True)    # + expectation hints
+
+    for i in range(len(budgets)):
+        np.testing.assert_array_equal(blind[i].tokens, base[i].tokens)
+        np.testing.assert_array_equal(hinted[i].tokens, base[i].tokens)
+        assert hinted[i].n_gen == base[i].n_gen == budgets[i]
+
+    assert s_hint.slot_step_utilization > s_blind.slot_step_utilization
+    assert s_hint.decode_steps <= s_blind.decode_steps
+    # and hints recover (at least) the budget-aware sizer's packing
+    assert s_hint.slot_step_utilization >= s_base.slot_step_utilization - 1e-9
+
+
+@pytest.mark.smoke
+def test_engine_online_length_estimator():
+    """Without explicit hints and with uninformative budgets, the sizer falls
+    back to an online p90 of observed early-EOS lengths once >=8 uncensored
+    completions landed. Outputs stay identical; late-run chunks shrink, so
+    utilization beats hint-free blind chunking on a tail-heavy mix."""
+    cfg, params, batches = _setup()
+    # 12 short requests then one long tail admitted into a 3-slot pool;
+    # by the time the tail runs, obs_lens has >=8 entries (p90 ~ 4)
+    budgets = [3, 4, 3, 4, 3, 4, 3, 4, 3, 4, 3, 4, 14]
+    max_new = 16
+    prompt_len = batches[0].data["input_ids"].shape[1]
+
+    def run(blind):
+        eng = ServeEngine(
+            params, cfg, n_slots=3, max_new_tokens=max_new, prompt_len=prompt_len,
+            prefill_bucket=1, chunk_steps=2, max_chunk_steps=16, patch_bucket=128,
+            budget_blind=blind,
+        )
+        reqs = [
+            Request(batch=batches[i % len(batches)].data,
+                    rope_delta=int(batches[i % len(batches)].rope_deltas[0]),
+                    max_new_tokens=bud, uid=i)
+            for i, bud in enumerate(budgets)
+        ]
+        return eng.run(reqs)  # fifo: tail admitted last, after stats built up
+
+    res_base, s_base = run(blind=False)
+    res_blind, s_blind = run(blind=True)
+    by_base = {c.uid: c for c in res_base}
+    for c in res_blind:
+        np.testing.assert_array_equal(c.tokens, by_base[c.uid].tokens)
+    assert s_blind.completions == len(budgets)
+    # estimator-sized chunks while the tail drains: utilization within 15% of
+    # the fully-informed budget-aware run (a hint-free blind run with all-max
+    # chunks strands two slots for the tail's whole 14 steps)
+    assert s_blind.slot_step_utilization >= 0.85 * s_base.slot_step_utilization
