@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -450,6 +451,9 @@ def infer_dataset(
     per = math.ceil(n / (world * batch_size)) * batch_size
     my_idx = range(rank * per, min((rank + 1) * per, n), batch_size)
 
+    t_imgio = t_engine = t_emit = 0.0
+    n_done = 0
+    t_all = time.perf_counter()
     for start in my_idx:
         rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
         if not rows:
@@ -462,6 +466,7 @@ def infer_dataset(
         n_real = len(rows)
         rows = rows + [rows[-1]] * (batch_size - n_real)
         prompts = [r["problem"] for r in rows]
+        t0 = time.perf_counter()
         images, paths, img_cache = [], [], {}
         for r in rows:
             path = r["image_path"][0] if isinstance(r["image_path"], list) else r["image_path"]
@@ -473,6 +478,8 @@ def infer_dataset(
                 img_cache[path] = img
             images.append(img_cache[path])
             paths.append(path)
+        t_imgio += time.perf_counter() - t0
+        t0 = time.perf_counter()
         if stream:
             results = engine.run_stream(
                 prompts, images, n_slots=n_slots, prefill_bucket=prefill_bucket,
@@ -483,7 +490,10 @@ def infer_dataset(
             )[:n_real]
         else:
             results = engine.run_batch(prompts, images, prompt_bucket=prompt_bucket)[:n_real]
+        t_engine += time.perf_counter() - t0
         rows = rows[:n_real]
+        n_done += n_real
+        t0 = time.perf_counter()
         with open(comp_path, "a") as f:
             for r, res in zip(rows, results):
                 f.write(json.dumps({"image_id": r["id"], "completion": res.completion}) + "\n")
@@ -499,4 +509,18 @@ def infer_dataset(
                     if o.mask_rle is not None:
                         row["mask"] = {"size": o.mask_rle["size"], "counts": o.mask_rle["counts"]}
                     f.write(json.dumps(row) + "\n")
+        t_emit += time.perf_counter() - t0
+    wall = time.perf_counter() - t_all
+    if rank == 0 and n_done:
+        # dataset-scale throughput + host-vs-engine split (one CPU core makes
+        # host-side image IO a real bottleneck candidate — measure, don't guess)
+        print(json.dumps({
+            "infer_dataset_stats": {
+                "samples": n_done, "wall_s": round(wall, 2),
+                "samples_per_sec": round(n_done / wall, 3),
+                "host_image_io_s": round(t_imgio, 2),
+                "engine_s": round(t_engine, 2),
+                "emit_jsonl_s": round(t_emit, 2),
+            }
+        }))
     return res_path, comp_path

@@ -88,3 +88,61 @@ def make_tiny_tokenizer(cfg) -> MockTokenizer:
     while len(tok) < cfg.text.vocab_size:
         tok.add_tokens([f"<|empty_token_{len(tok)}|>"], special_tokens=True)
     return tok
+
+
+class FastMockTokenizer(MockTokenizer):
+    """MockTokenizer with an O(n) encode for FULL-SIZE vocabs.
+
+    The base encode does greedy longest-match over every multi-char token per
+    position — pathological at the 152k-token Qwen id space. All multi-char
+    tokens that can appear in real prompts are `<|...|>` forms, so split on
+    that shape and look the pieces up; everything else is per-char."""
+
+    _SPECIAL_RE = None
+
+    def encode(self, text: str, add_special_tokens: bool = False):
+        import re
+
+        if FastMockTokenizer._SPECIAL_RE is None:
+            FastMockTokenizer._SPECIAL_RE = re.compile(r"(<\|[^|<>]*\|>)")
+        ids = []
+        for part in FastMockTokenizer._SPECIAL_RE.split(text):
+            if len(part) > 1 and part in self._vocab:
+                ids.append(self._vocab[part])
+            else:
+                for ch in part:
+                    tid = self._vocab.setdefault(ch, len(self._vocab))
+                    self._ids[tid] = ch
+                    ids.append(tid)
+        return ids
+
+
+def make_full_tokenizer(cfg) -> FastMockTokenizer:
+    """`make_tiny_tokenizer`'s id-layout contract at FULL config scale
+    (special ids ~151643+): bulk filler placement + fast encode. For
+    random-weight benchmarks of 3B/7B shapes (scripts/infer_eval.py
+    --model random:3b); real deployments load the HF tokenizer."""
+    tok = FastMockTokenizer()
+    tok.add_tokens(["<|im_start|>"], special_tokens=True)
+    specials = {
+        cfg.vision_start_token_id: "<|vision_start|>",
+        cfg.vision_start_token_id + 1: "<|vision_end|>",
+        cfg.image_token_id: "<|image_pad|>",
+        cfg.video_token_id: "<|video_pad|>",
+        cfg.pad_token_id: "<|endoftext|>",
+        cfg.eos_token_id: "<|im_end|>",
+    }
+    next_free = len(tok)
+    for tid in sorted(specials):
+        assert tid >= next_free, f"special id {tid} already taken"
+        tok.add_tokens(
+            [f"<|filler_{i}|>" for i in range(next_free, tid)], special_tokens=True
+        )
+        tok.add_tokens([specials[tid]], special_tokens=True)
+        next_free = tid + 1
+    if len(tok) < cfg.text.vocab_size:
+        tok.add_tokens(
+            [f"<|empty_token_{i}|>" for i in range(len(tok), cfg.text.vocab_size)],
+            special_tokens=True,
+        )
+    return tok

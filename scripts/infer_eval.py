@@ -30,7 +30,27 @@ def cmd_infer(a):
     from padt_tpu.eval.harness import InferenceEngine, infer_dataset
     from padt_tpu.train.data import load_jsonl_datasets
 
-    cfg, params, processor = load_model(a.model)
+    if a.model.startswith("random:"):
+        # benchmark spec: random weights at full model shapes, no checkpoint
+        # on disk (real 3B safetensors would be ~7 GB of staging). Exercises
+        # the production harness end-to-end; completions are garbage.
+        import jax
+        import jax.numpy as jnp
+
+        from padt_tpu.config import padt_3b, padt_7b, padt_tiny
+        from padt_tpu.models.padt import init_padt_params
+        from padt_tpu.utils.mock_tokenizer import make_full_tokenizer, make_tiny_tokenizer
+        from padt_tpu.vrt.processor import VisionTextProcessor
+
+        kind = a.model.split(":", 1)[1]
+        cfg = {"3b": padt_3b, "7b": padt_7b, "tiny": padt_tiny}[kind]()
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        params = init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
+        tok = make_tiny_tokenizer(cfg) if kind == "tiny" else make_full_tokenizer(cfg)
+        processor = VisionTextProcessor(tok, cfg)
+        processor.prepare(cfg.text.vocab_size)
+    else:
+        cfg, params, processor = load_model(a.model)
     dataset = load_jsonl_datasets([a.data], [a.image_folder])
     engine = InferenceEngine(params, cfg, processor, max_new_tokens=a.max_new_tokens)
     res, comp = infer_dataset(

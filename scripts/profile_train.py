@@ -124,11 +124,19 @@ def main():
     )
 
     # --- value_and_grad (no optimizer) ---
-    jgrad = jax.jit(
-        lambda p, b, w: jax.value_and_grad(loss_fn(lcfg), has_aux=True)(p, b, w)
-    )
+    def grad_phase(p, b, w):
+        (loss, aux), grads = jax.value_and_grad(loss_fn(lcfg), has_aux=True)(p, b, w)
+        # consume grads into a scalar INSIDE the jit: returning the 6.4 GB
+        # bf16 grad tree keeps every leaf live to the output — alongside
+        # params that OOMs 15.75 GB HBM; a scalar reduction lets XLA free
+        # each grad buffer as the backward produces it (the backward itself
+        # is unchanged — every grad is still computed and consumed)
+        gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
+        return loss + gsum * 1e-30
+
+    jgrad = jax.jit(grad_phase)
     results["fwd_bwd"] = _time_phase(
-        lambda: jgrad(params, batch, warmup)[0][0], sync_loss, n_steps
+        lambda: jgrad(params, batch, warmup), sync_loss, n_steps
     )
 
     # --- full train step (grads donated; fresh params/opt_state per timing) ---
