@@ -227,6 +227,120 @@ def _decode_attention_int8_pallas_stacked_fresh(
       vsn.reshape(b, hkv, 1, 1), valid3)
 
 
+def _decode_kernel_stacked_fresh_bb(
+    li_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
+    valid_ref, o_ref, *, sm_scale: float, bb: int, hkv: int,
+):
+    """Batch-blocked `_decode_kernel_stacked_fresh`: one program covers `bb`
+    batch rows x ALL kv heads, so the per-program cache DMA is one contiguous
+    (bb, hkv, C, hd) burst instead of a (1, 1, C, hd) sliver. Motivation
+    (measured, scripts/micro_decode_decomp.py at 3B/b96/C1280): the (B, Hkv)
+    grid ran 192 ~330 KB programs per layer and achieved only ~255 GB/s on
+    the KV stream while the step's weight matmuls hit ~600 GB/s — grid
+    iteration overhead, not bandwidth, was the decode attention bound."""
+    for ib in range(bb):
+        valid_row = valid_ref[ib] > 0  # (1, C)
+        for j in range(hkv):
+            q = q_ref[ib, j]  # (G, hd) bf16
+            k = k8_ref[0, ib, j].astype(jnp.bfloat16)  # (C, hd) stale
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (G, C)
+            scores = scores * (ks_ref[0, ib, j] * sm_scale)
+            scores = jnp.where(valid_row, scores, NEG_INF)  # valid EXCLUDES pos
+            # fresh column: see _decode_kernel_stacked_fresh (the (G,hd)x(1,hd)
+            # dot trips a Mosaic broadcast bug; VPU reduction is exact f32)
+            kn = kn_ref[ib, j].astype(jnp.float32)  # (1, hd)
+            s_f = jnp.sum(q.astype(jnp.float32) * kn, axis=-1, keepdims=True) * (
+                ksn_ref[ib, j] * sm_scale
+            )  # (G, 1)
+            m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_f)
+            p = jnp.exp(scores - m)  # (G, C)
+            p_f = jnp.exp(s_f - m)  # (G, 1)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_f
+            pv = (p / denom * vs_ref[0, ib, j]).astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                pv, v8_ref[0, ib, j].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (G, hd)
+            vn = vn_ref[ib, j].astype(jnp.float32) * vsn_ref[ib, j]  # (1, hd)
+            out = out + (p_f / denom) * vn
+            o_ref[ib, j] = out.astype(o_ref.dtype)
+
+
+def _decode_attention_int8_pallas_stacked_fresh_bb(
+    q, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid, layer, bb
+):
+    """Batch-blocked dispatch of the fresh-column stacked kernel: grid is
+    (B // bb,); each program DMAs one contiguous (bb, Hkv, C, hd) cache
+    chunk per K and V. Requires B % bb == 0 (callers fall back to the
+    per-(b, hkv) kernel otherwise)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hkv, g, hd = q.shape
+    nl, _, _, c, _ = k8.shape
+    assert b % bb == 0, (b, bb)
+    ks5 = ks.reshape(nl, b, hkv, 1, c)
+    vs5 = vs.reshape(nl, b, hkv, 1, c)
+    valid3 = valid.reshape(b, 1, c)
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    kern = functools.partial(
+        _decode_kernel_stacked_fresh_bb, sm_scale=1.0 / (hd**0.5), bb=bb, hkv=hkv
+    )
+    at_layer = lambda i, li_r: (li_r[0], i, 0, 0, 0)
+    at_b = lambda i, li_r: (i, 0, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, hkv, g, hd), at_b),
+            pl.BlockSpec((1, bb, hkv, c, hd), at_layer),
+            pl.BlockSpec((1, bb, hkv, 1, c), at_layer),
+            pl.BlockSpec((1, bb, hkv, c, hd), at_layer),
+            pl.BlockSpec((1, bb, hkv, 1, c), at_layer),
+            pl.BlockSpec((bb, hkv, 1, hd), at_b),
+            pl.BlockSpec((bb, hkv, 1, 1), at_b),
+            pl.BlockSpec((bb, hkv, 1, hd), at_b),
+            pl.BlockSpec((bb, hkv, 1, 1), at_b),
+            pl.BlockSpec((bb, 1, c), lambda i, li_r: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, hkv, g, hd), at_b),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # double-buffered (bb, hkv, C, hd) K+V blocks overflow the 16 MB
+            # default scoped-vmem limit at bb>=16/C1280; v5e has 128 MB VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(li, q, k8, ks5, v8, vs5, k8n, ksn.reshape(b, hkv, 1, 1), v8n,
+      vsn.reshape(b, hkv, 1, 1), valid3)
+
+
+def _decode_bb(b: int, hkv: int, c: int, hd: int) -> int:
+    """Batch-block size for the fresh-column decode kernel. Largest of
+    {16, 8, 4, 2} dividing B whose double-buffered K+V block fits a 64 MB
+    VMEM budget (the kernel raises its scoped limit to 100 MB; headroom is
+    left for compute temporaries); 1 disables (falls back to the (B, Hkv)
+    grid). Override: PADT_DECODE_BB (0/1 = off)."""
+    import os
+
+    env = os.environ.get("PADT_DECODE_BB")
+    if env is not None:
+        bb = int(env)
+        return bb if bb > 1 and b % bb == 0 else 1
+    for bb in (16, 8, 4, 2):
+        if b % bb == 0 and 2 * 2 * bb * hkv * c * (hd + 4) <= 64 * 1024 * 1024:
+            return bb
+    return 1
+
+
 def _decode_kernel_multi_stacked_fresh(
     li_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
     valid_ref, o_ref, *, sm_scale: float, kq: int,
@@ -1384,9 +1498,15 @@ def decode_attention_int8(
         assert layer is not None
         k8n, ksn, v8n, vsn = fresh_kv
         if use_pallas():
-            out = _decode_attention_int8_pallas_stacked_fresh(
-                qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid_i, layer
-            )
+            bb = _decode_bb(b, hkv, k8.shape[3], hd)
+            if bb > 1:
+                out = _decode_attention_int8_pallas_stacked_fresh_bb(
+                    qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid_i, layer, bb
+                )
+            else:
+                out = _decode_attention_int8_pallas_stacked_fresh(
+                    qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid_i, layer
+                )
         else:
             li = jnp.asarray(layer, jnp.int32)
             pick = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)

@@ -441,8 +441,10 @@ def test_stacked_fresh_decode_attention_matches_store_then_attend():
             jnp.asarray(k8_u[li]), jnp.asarray(ks_u[li]),
             jnp.asarray(v8_u[li]), jnp.asarray(vs_u[li]), jnp.asarray(valid_u),
         ).reshape(q.shape)
-        for pallas in ("0", "1"):
+        # bb="1" covers the per-(b, hkv) kernel, bb="2" the batch-blocked one
+        for pallas, bb in (("0", "1"), ("1", "1"), ("1", "2")):
             os.environ["PADT_PALLAS"] = pallas
+            os.environ["PADT_DECODE_BB"] = bb
             try:
                 ctx = contextlib.nullcontext() if (ON_TPU or pallas == "0") else _interp()
                 with ctx:
@@ -452,10 +454,46 @@ def test_stacked_fresh_decode_attention_matches_store_then_attend():
                     )
             finally:
                 os.environ["PADT_PALLAS"] = "auto"
+                del os.environ["PADT_DECODE_BB"]
             np.testing.assert_allclose(
                 np.asarray(out, np.float32), np.asarray(ref, np.float32),
-                atol=2e-2, rtol=2e-2, err_msg=f"layer {li} pallas={pallas}",
+                atol=2e-2, rtol=2e-2, err_msg=f"layer {li} pallas={pallas} bb={bb}",
             )
+
+
+@pytest.mark.smoke
+def test_stacked_fresh_bb_multiprogram_matches_unblocked():
+    """Batch-blocked fresh kernel with a real multi-program grid (B=8, bb=4 ->
+    2 programs) must match the per-(b, hkv) kernel bit-for-bit-ish: same math,
+    different grid/DMA decomposition."""
+    import contextlib
+
+    q, k8, ks, v8, vs, valid = _stacked_int8_inputs(b=8)
+    nl, b, hkv, c, hd = k8.shape
+    rng = np.random.RandomState(23)
+    k8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    v8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    ksn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    vsn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    li = jnp.int32(1)
+    outs = {}
+    for bb in ("1", "4"):
+        os.environ["PADT_PALLAS"] = "1"
+        os.environ["PADT_DECODE_BB"] = bb
+        try:
+            ctx = contextlib.nullcontext() if ON_TPU else _interp()
+            with ctx:
+                outs[bb] = KV.decode_attention_int8(
+                    q, k8, ks, v8, vs, valid, layer=li,
+                    fresh_kv=(k8n, ksn, v8n, vsn),
+                )
+        finally:
+            os.environ["PADT_PALLAS"] = "auto"
+            del os.environ["PADT_DECODE_BB"]
+    np.testing.assert_allclose(
+        np.asarray(outs["4"], np.float32), np.asarray(outs["1"], np.float32),
+        atol=1e-3, rtol=1e-3,
+    )
 
 
 @pytest.mark.smoke
