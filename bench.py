@@ -64,6 +64,10 @@ def main(batch=None):
         params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
         if os.environ.get("PADT_BENCH_INT8", "0") == "1":
             params = P.quantize_params(params)
+    if os.environ.get("PADT_BENCH_PACKED", "1") == "1":
+        # fused qkv / gateup weight streams (bit-exact; PADT_BENCH_PACKED=0
+        # restores the unfused layout for A/B)
+        params = P.pack_inference_params(params)
 
     grids = [grid] * batch_size
     s_max = cfg.max_image_patches

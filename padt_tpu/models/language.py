@@ -101,17 +101,37 @@ def init_text_params(cfg: TextConfig, key, dtype=jnp.bfloat16):
     return params
 
 
+def _packed(lp) -> bool:
+    """True when the layer uses the fused inference weight layout
+    (`padt.pack_inference_params`): q|k|v -> qkv_w, gate|up -> gateup_w."""
+    return "qkv_w" in lp or "qkv_w_q" in lp
+
+
 def _qkv(x, lp, cfg: TextConfig, cos, sin):
     b, l, _ = x.shape
-    q = (qlinear(lp, "q_w", x) + lp["q_b"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)
-    k = (qlinear(lp, "k_w", x) + lp["k_b"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
-    v = (qlinear(lp, "v_w", x) + lp["v_b"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
+    h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    if _packed(lp):
+        # one fused weight stream per layer (decode is weight-bandwidth-bound;
+        # each output column depends only on its own weight column, so the
+        # fused dot is bit-exact vs the three separate ones)
+        qkv = qlinear(lp, "qkv_w", x) + lp["qkv_b"]
+        q = qkv[..., : h * hd].reshape(b, l, h, hd)
+        k = qkv[..., h * hd : (h + hkv) * hd].reshape(b, l, hkv, hd)
+        v = qkv[..., (h + hkv) * hd :].reshape(b, l, hkv, hd)
+    else:
+        q = (qlinear(lp, "q_w", x) + lp["q_b"]).reshape(b, l, h, hd)
+        k = (qlinear(lp, "k_w", x) + lp["k_b"]).reshape(b, l, hkv, hd)
+        v = (qlinear(lp, "v_w", x) + lp["v_b"]).reshape(b, l, hkv, hd)
     q = apply_rotary(q, cos[:, :, None, :], sin[:, :, None, :])
     k = apply_rotary(k, cos[:, :, None, :], sin[:, :, None, :])
     return q, k, v
 
 
 def _mlp(x, lp):
+    if "gateup_w" in lp or "gateup_w_q" in lp:
+        gu = qlinear(lp, "gateup_w", x)
+        ff = gu.shape[-1] // 2
+        return qlinear(lp, "down_w", jax.nn.silu(gu[..., :ff]) * gu[..., ff:])
     h = jax.nn.silu(qlinear(lp, "gate_w", x)) * qlinear(lp, "up_w", x)
     return qlinear(lp, "down_w", h)
 
@@ -139,7 +159,16 @@ def text_forward(
 
     def body(x, lp):
         xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
-        if fused_rope:
+        if fused_rope and _packed(lp):
+            # inference-only packed layout: rope reads q/k straight out of the
+            # fused qkv projection (lane-block offset, no slice copies)
+            from ..ops.pallas_attention import rope_pair_fused_qkv
+
+            qkvp = qlinear(lp, "qkv_w", xn) + lp["qkv_b"]
+            qr, kr = rope_pair_fused_qkv(qkvp, cos, sin, h, hkv)
+            q, k = qr.reshape(b, l, h, hd), kr.reshape(b, l, hkv, hd)
+            v = qkvp[..., (h + hkv) * hd :].reshape(b, l, hkv, hd)
+        elif fused_rope:
             from ..ops.pallas_attention import rope_pair_packed
 
             qp = qlinear(lp, "q_w", xn) + lp["q_b"]
@@ -189,7 +218,14 @@ def prefill(
 
     def body(x, lp):
         xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
-        if fused_rope:
+        if fused_rope and _packed(lp):
+            from ..ops.pallas_attention import rope_pair_fused_qkv
+
+            qkvp = qlinear(lp, "qkv_w", xn) + lp["qkv_b"]  # (B, L, (H+2Hkv)*hd)
+            qr, kr = rope_pair_fused_qkv(qkvp, cos, sin, h, hkv)
+            q, k = qr.reshape(b, l, h, hd), kr.reshape(b, l, hkv, hd)
+            v = qkvp[..., (h + hkv) * hd :].reshape(b, l, hkv, hd)
+        elif fused_rope:
             from ..ops.pallas_attention import rope_pair_packed
 
             qp = qlinear(lp, "q_w", xn) + lp["q_b"]  # (B, L, H*hd) packed

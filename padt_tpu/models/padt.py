@@ -507,6 +507,39 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def pack_inference_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse the LLM per-layer weight streams for serving: q|k|v -> one
+    `qkv_w` (L, d, (H+2*Hkv)*hd) and gate|up -> one `gateup_w` (L, d, 2*ff).
+
+    Decode is weight-bandwidth-bound (BASELINE.md round-4 decomposition:
+    602 GB/s achieved on 7 separate streams/layer); fusing cuts that to 4
+    larger contiguous streams. Mathematically exact: each output column of a
+    matmul depends only on its own weight column (x @ concat(A, B) ==
+    concat(x @ A, x @ B)); XLA's accumulation tiling can still differ at
+    bf16, so parity is gated by greedy-token tests (tests/test_packed_params.py).
+
+    Works on both the dense bf16 layout and the int8 `quantize_params` /
+    `init_padt_params_quantized` layout (per-out-channel scales concat the
+    same way). Inference-only: training, checkpoints, and converters keep the
+    unfused HF-shaped names. Idempotent."""
+    layers = dict(params["text"]["layers"])
+    if "qkv_w" in layers or "qkv_w_q" in layers:
+        return params
+    cat = lambda names: jnp.concatenate([layers.pop(n) for n in names], axis=-1)
+    if "q_w_q" in layers:
+        layers["qkv_w_q"] = cat(("q_w_q", "k_w_q", "v_w_q"))
+        layers["qkv_w_s"] = cat(("q_w_s", "k_w_s", "v_w_s"))
+        layers["gateup_w_q"] = cat(("gate_w_q", "up_w_q"))
+        layers["gateup_w_s"] = cat(("gate_w_s", "up_w_s"))
+    else:
+        layers["qkv_w"] = cat(("q_w", "k_w", "v_w"))
+        layers["gateup_w"] = cat(("gate_w", "up_w"))
+    layers["qkv_b"] = cat(("q_b", "k_b", "v_b"))
+    out = dict(params)
+    out["text"] = dict(params["text"], layers=layers)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # vl_decode glue: per-object VRT hidden groups -> perception decoder
 # ---------------------------------------------------------------------------

@@ -20,12 +20,18 @@ contiguous (C, hd) tiles for the kernel grid.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# int8-native score dots (quantized q, PADT_DECODE_QI8=1): read once at import
+# (an env read inside jitted dispatch would silently pin the first value seen
+# per trace — round-3 advisor finding on pallas_attention's env gate)
+_QI8_DEFAULT = os.environ.get("PADT_DECODE_QI8", "0") == "1"
 
 
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -41,15 +47,28 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # XLA reference path (CPU tests / correctness oracle)
 # ---------------------------------------------------------------------------
 
-def _decode_attention_int8_xla(q, k8, ks, v8, vs, valid):
+def _decode_attention_int8_xla(q, k8, ks, v8, vs, valid, quantize_q: bool = False):
     """q: (B, Hkv, G, hd) bf16; k8/v8: (B, Hkv, C, hd) int8;
-    ks/vs: (B, Hkv, C) f32; valid: (B, C) bool -> (B, Hkv, G, hd)."""
+    ks/vs: (B, Hkv, C) f32; valid: (B, C) bool -> (B, Hkv, G, hd).
+
+    quantize_q=True defines the int8-native score-dot semantics (the MXU
+    int8xint8 kernel path, PADT_DECODE_QI8): q is per-row symmetric-quantized
+    with the same scheme as the cache (`quantize_kv`) and the score dot runs
+    on integer values; the products are exact in f32 (|sums| < 2^24), so this
+    oracle IS the kernel's bit-level reference for the score matrix."""
     hd = q.shape[-1]
     scale = 1.0 / (hd**0.5)
-    scores = jnp.einsum(
-        "bkgd,bkcd->bkgc", q.astype(jnp.bfloat16), k8.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+    if quantize_q:
+        q8, qs = quantize_kv(q)  # (B, Hkv, G, hd) int8, (B, Hkv, G) f32
+        scores = jnp.einsum(
+            "bkgd,bkcd->bkgc", q8.astype(jnp.float32), k8.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * qs[..., None]
+    else:
+        scores = jnp.einsum(
+            "bkgd,bkcd->bkgc", q.astype(jnp.bfloat16), k8.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     scores = scores * (ks * scale)[:, :, None, :]
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -142,9 +161,46 @@ def _decode_kernel_stacked(
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _quantize_q_rows(q):
+    """In-kernel per-row symmetric q quantization, same scheme as
+    `quantize_kv`: (G, hd) float -> (int8 (G, hd), f32 scales (G, 1))."""
+    qf = q.astype(jnp.float32)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    return q8, qs
+
+
+def _scores_vs_cache(q, k8_tile, ks_row, sm_scale, quantize_q):
+    """(G, C) scaled attention scores + the effective (dequantized) f32 query
+    used for the fresh-column VPU reduction.
+
+    quantize_q=True: q is per-row int8-quantized in-kernel and the score dot
+    runs int8 x int8 -> int32 on the MXU — no (C, hd) int8->bf16 K convert
+    (the dominant VPU cost of this kernel: BASELINE.md round-4 decomposition
+    measured it compute-bound at 255 GB/s) and the MXU runs at its doubled
+    int8 rate. Semantics defined by `_decode_attention_int8_xla(quantize_q=
+    True)`; opt-in via PADT_DECODE_QI8 (greedy parity re-gated in
+    tests/test_kv_cache.py)."""
+    if quantize_q:
+        q8, qs = _quantize_q_rows(q)
+        scores = jax.lax.dot_general(
+            q8, k8_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * qs  # (G, C)
+        q_eff = q8.astype(jnp.float32) * qs
+    else:
+        scores = jax.lax.dot_general(
+            q, k8_tile.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (G, C)
+        q_eff = q.astype(jnp.float32)
+    return scores * (ks_row * sm_scale), q_eff
+
+
 def _decode_kernel_stacked_fresh(
     li_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
-    valid_ref, o_ref, *, sm_scale,
+    valid_ref, o_ref, *, sm_scale, quantize_q=False,
 ):
     """`_decode_kernel_stacked` reading the PRE-update cache, with the current
     token's K/V passed separately and composited into the softmax in-kernel
@@ -153,18 +209,13 @@ def _decode_kernel_stacked_fresh(
     XLA copies the full cache when a Pallas read depends on the updated
     buffer inside a scan carry (measured +7.5 ms/step at 3B/b96/C1280)."""
     q = q_ref[0, 0]  # (G, hd) bf16
-    k = k8_ref[0, 0, 0].astype(jnp.bfloat16)  # (C, hd) stale
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )  # (G, C)
-    scores = scores * (ks_ref[0, 0, 0] * sm_scale)
+    scores, q_eff = _scores_vs_cache(q, k8_ref[0, 0, 0], ks_ref[0, 0, 0], sm_scale, quantize_q)
     scores = jnp.where(valid_ref[0] > 0, scores, NEG_INF)  # valid EXCLUDES pos
     # fresh column: the token being decoded attends to itself. A (G,hd)x(1,hd)
     # dot_general trips a Mosaic bf16->f32 broadcast verification bug; an
     # elementwise VPU reduction over hd is tiny (G x hd) and exact in f32.
     kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
-    s_f = jnp.sum(q.astype(jnp.float32) * kn, axis=-1, keepdims=True) * (
+    s_f = jnp.sum(q_eff * kn, axis=-1, keepdims=True) * (
         ksn_ref[0, 0] * sm_scale
     )  # (G, 1)
     m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_f)
@@ -182,7 +233,7 @@ def _decode_kernel_stacked_fresh(
 
 
 def _decode_attention_int8_pallas_stacked_fresh(
-    q, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid, layer
+    q, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid, layer, quantize_q=False
 ):
     """q: (B, Hkv, G, hd); k8/v8: (L, B, Hkv, C, hd) PRE-update stacks;
     k8n/v8n: (B, Hkv, 1, hd) current-token rows; ksn/vsn: (B, Hkv, 1);
@@ -196,7 +247,9 @@ def _decode_attention_int8_pallas_stacked_fresh(
     vs5 = vs.reshape(nl, b, hkv, 1, c)
     valid3 = valid.reshape(b, 1, c)
     li = jnp.asarray(layer, jnp.int32).reshape(1)
-    kern = functools.partial(_decode_kernel_stacked_fresh, sm_scale=1.0 / (hd**0.5))
+    kern = functools.partial(
+        _decode_kernel_stacked_fresh, sm_scale=1.0 / (hd**0.5), quantize_q=quantize_q
+    )
     at_layer = lambda i, j, li_r: (li_r[0], i, j, 0, 0)
     at_bh = lambda i, j, li_r: (i, j, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -229,7 +282,7 @@ def _decode_attention_int8_pallas_stacked_fresh(
 
 def _decode_kernel_stacked_fresh_bb(
     li_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
-    valid_ref, o_ref, *, sm_scale: float, bb: int, hkv: int,
+    valid_ref, o_ref, *, sm_scale: float, bb: int, hkv: int, quantize_q=False,
 ):
     """Batch-blocked `_decode_kernel_stacked_fresh`: one program covers `bb`
     batch rows x ALL kv heads, so the per-program cache DMA is one contiguous
@@ -242,17 +295,14 @@ def _decode_kernel_stacked_fresh_bb(
         valid_row = valid_ref[ib] > 0  # (1, C)
         for j in range(hkv):
             q = q_ref[ib, j]  # (G, hd) bf16
-            k = k8_ref[0, ib, j].astype(jnp.bfloat16)  # (C, hd) stale
-            scores = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )  # (G, C)
-            scores = scores * (ks_ref[0, ib, j] * sm_scale)
+            scores, q_eff = _scores_vs_cache(
+                q, k8_ref[0, ib, j], ks_ref[0, ib, j], sm_scale, quantize_q
+            )
             scores = jnp.where(valid_row, scores, NEG_INF)  # valid EXCLUDES pos
             # fresh column: see _decode_kernel_stacked_fresh (the (G,hd)x(1,hd)
             # dot trips a Mosaic broadcast bug; VPU reduction is exact f32)
             kn = kn_ref[ib, j].astype(jnp.float32)  # (1, hd)
-            s_f = jnp.sum(q.astype(jnp.float32) * kn, axis=-1, keepdims=True) * (
+            s_f = jnp.sum(q_eff * kn, axis=-1, keepdims=True) * (
                 ksn_ref[ib, j] * sm_scale
             )  # (G, 1)
             m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_f)
@@ -271,7 +321,7 @@ def _decode_kernel_stacked_fresh_bb(
 
 
 def _decode_attention_int8_pallas_stacked_fresh_bb(
-    q, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid, layer, bb
+    q, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid, layer, bb, quantize_q=False
 ):
     """Batch-blocked dispatch of the fresh-column stacked kernel: grid is
     (B // bb,); each program DMAs one contiguous (bb, Hkv, C, hd) cache
@@ -288,7 +338,8 @@ def _decode_attention_int8_pallas_stacked_fresh_bb(
     valid3 = valid.reshape(b, 1, c)
     li = jnp.asarray(layer, jnp.int32).reshape(1)
     kern = functools.partial(
-        _decode_kernel_stacked_fresh_bb, sm_scale=1.0 / (hd**0.5), bb=bb, hkv=hkv
+        _decode_kernel_stacked_fresh_bb, sm_scale=1.0 / (hd**0.5), bb=bb, hkv=hkv,
+        quantize_q=quantize_q,
     )
     at_layer = lambda i, li_r: (li_r[0], i, 0, 0, 0)
     at_b = lambda i, li_r: (i, 0, 0, 0)
@@ -1488,10 +1539,17 @@ def decode_attention_int8(
     #              reads (a kernel read of the updated carry makes XLA copy
     #              the full cache: +7.5 ms/step at 3B/b96/C1280). Requires
     #              layer=.
+    quantize_q=None,  # True: per-row int8-quantize q in-kernel and run the
+    #              score dot int8 x int8 on the MXU (no K dequant convert —
+    #              the kernel's dominant VPU cost). Semantics:
+    #              `_decode_attention_int8_xla(quantize_q=True)`. Default:
+    #              the PADT_DECODE_QI8 env (module import time).
 ) -> jnp.ndarray:
     """Single-step grouped-query attention over the int8 cache -> (B, 1, H, hd)."""
     from .attention import use_pallas
 
+    if quantize_q is None:
+        quantize_q = _QI8_DEFAULT
     b, _, h, hd = q.shape
     hkv = k8.shape[1] if layer is None else k8.shape[2]
     qg = q.reshape(b, hkv, h // hkv, hd)  # kv head j serves q heads [jG, (j+1)G)
@@ -1503,26 +1561,44 @@ def decode_attention_int8(
             bb = _decode_bb(b, hkv, k8.shape[3], hd)
             if bb > 1:
                 out = _decode_attention_int8_pallas_stacked_fresh_bb(
-                    qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid_i, layer, bb
+                    qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid_i, layer, bb,
+                    quantize_q=quantize_q,
                 )
             else:
                 out = _decode_attention_int8_pallas_stacked_fresh(
-                    qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid_i, layer
+                    qg, k8, ks, v8, vs, k8n, ksn, v8n, vsn, valid_i, layer,
+                    quantize_q=quantize_q,
                 )
         else:
             li = jnp.asarray(layer, jnp.int32)
             pick = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
             k8l, ksl, v8l, vsl = pick(k8), pick(ks), pick(v8), pick(vs)
             scale = 1.0 / (hd**0.5)
-            scores = jnp.einsum(
-                "bkgd,bkcd->bkgc", qg.astype(jnp.bfloat16), k8l.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ) * (ksl * scale)[:, :, None, :]
+            if quantize_q:
+                # integer-valued f32 products are exact (|sums| < 2^24):
+                # matches the kernel's int8 x int8 -> int32 dot bit-for-bit
+                q8g, qsg = quantize_kv(qg)
+                scores = jnp.einsum(
+                    "bkgd,bkcd->bkgc", q8g.astype(jnp.float32), k8l.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ) * qsg[..., None]
+                s_f = jnp.einsum(
+                    "bkgd,bkrd->bkgr",
+                    (q8g.astype(jnp.float32) * qsg[..., None]), k8n.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                scores = jnp.einsum(
+                    "bkgd,bkcd->bkgc", qg.astype(jnp.bfloat16), k8l.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                s_f = jnp.einsum(
+                    "bkgd,bkrd->bkgr", qg.astype(jnp.bfloat16), k8n.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            scores = scores * (ksl * scale)[:, :, None, :]
             scores = jnp.where(valid.astype(bool)[:, None, None, :], scores, NEG_INF)
-            s_f = jnp.einsum(
-                "bkgd,bkrd->bkgr", qg.astype(jnp.bfloat16), k8n.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ) * (ksn * scale)[:, :, None, :]  # (B, Hkv, G, 1)
+            s_f = s_f * (ksn * scale)[:, :, None, :]  # (B, Hkv, G, 1)
             m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_f)
             p = jnp.exp(scores - m)
             p_f = jnp.exp(s_f - m)

@@ -679,6 +679,19 @@ def _rope_pair_pk_bwd(h, h_k, res, g):
 rope_pair_packed.defvjp(_rope_pair_pk_fwd, _rope_pair_pk_bwd)
 
 
+def rope_pair_fused_qkv(qkv, cos, sin, num_q_heads: int, num_k_heads: int):
+    """Rope q and k straight out of the FUSED (B, L, (H+2*Hkv)*hd) qkv
+    projection output (the packed inference weight layout,
+    `padt.pack_inference_params`): q occupies lane-blocks [0, H), k
+    [H, H+Hkv) — both addressed via `k_blk_offset`, no XLA slice copies.
+    Returns (q_rot (B,L,H*hd), k_rot (B,L,Hkv*hd)). Inference-only (no VJP;
+    training keeps the unfused weight layout)."""
+    return _rope_pair(
+        qkv, qkv, cos.astype(jnp.float32), sin.astype(jnp.float32),
+        num_q_heads, cos.shape[-1], k_blk_offset=num_q_heads, h_k=num_k_heads,
+    )
+
+
 # Lane width each head is padded to for the attention kernels' BlockSpec
 # lane-block indexing (Mosaic lane tile = 128)
 _PAD_LANE = 128

@@ -63,6 +63,11 @@ _TEXT_RULES: Dict[str, P] = {
     "layers/gate_w": P(None, "fsdp", "tensor"),
     "layers/up_w": P(None, "fsdp", "tensor"),
     "layers/down_w": P(None, "tensor", "fsdp"),
+    # packed inference layout (padt.pack_inference_params): fused column
+    # concats shard exactly like their unfused sources
+    "layers/qkv_w": P(None, "fsdp", "tensor"),
+    "layers/qkv_b": P(None, "tensor"),
+    "layers/gateup_w": P(None, "fsdp", "tensor"),
 }
 
 _VISION_RULES: Dict[str, P] = {

@@ -726,7 +726,11 @@ class ServeEngine:
         budget_blind: bool = False,  # sizer ignores budgets (bench: emulates the
         #                              real-weights regime where every budget is
         #                              an uninformative 1024 and EOS stops slots)
+        packed_weights: bool = True,  # fused qkv/gateup weight streams
+        #                               (bit-exact; padt.pack_inference_params)
     ):
+        if packed_weights:
+            params = padt_model.pack_inference_params(params)
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots

@@ -109,6 +109,12 @@ def main():
     }
     embed = (jax.random.normal(ks[7], (cfg.vocab_size, d), jnp.float32) * 0.02).astype(jnp.bfloat16)
 
+    if os.environ.get("PADT_MICRO_PACKED", "0") == "1":
+        # fused qkv_w / gateup_w inference layout (padt.pack_inference_params)
+        from padt_tpu.models import padt as P
+
+        params = P.pack_inference_params({"text": params})["text"]
+
     # int8 KV cache stack, ~3/4 full
     kcache = jnp.zeros((nl, B, hkv, CAP, hd), jnp.int8)
     kscale = jnp.ones((nl, B, hkv, CAP), jnp.float32)

@@ -786,3 +786,91 @@ def test_tiled_decode_kernel_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
     )
+
+
+@pytest.mark.smoke
+def test_stacked_fresh_quantized_q_matches_oracle():
+    """int8-native score dots (PADT_DECODE_QI8): both fresh kernels
+    (per-(b,hkv) and batch-blocked) must match the quantize_q=True XLA oracle
+    composed as store-then-attend."""
+    import contextlib
+
+    q, k8, ks, v8, vs, valid = _stacked_int8_inputs(b=8)
+    nl, b, hkv, c, hd = k8.shape
+    rng = np.random.RandomState(31)
+    k8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    v8n = jnp.asarray(rng.randint(-127, 128, (b, hkv, 1, hd)), jnp.int8)
+    ksn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    vsn = jnp.asarray(rng.lognormal(-4, 0.5, (b, hkv, 1)), jnp.float32)
+    pos = c // 2
+    li = 1
+    k8_u = np.asarray(k8).copy(); k8_u[li, :, :, pos] = np.asarray(k8n)[:, :, 0]
+    v8_u = np.asarray(v8).copy(); v8_u[li, :, :, pos] = np.asarray(v8n)[:, :, 0]
+    ks_u = np.asarray(ks).copy(); ks_u[li, :, :, pos] = np.asarray(ksn)[:, :, 0]
+    vs_u = np.asarray(vs).copy(); vs_u[li, :, :, pos] = np.asarray(vsn)[:, :, 0]
+    valid_u = np.asarray(valid).copy(); valid_u[:, pos] = True
+    ref = KV._decode_attention_int8_xla(
+        q.reshape(b, hkv, -1, hd),
+        jnp.asarray(k8_u[li]), jnp.asarray(ks_u[li]),
+        jnp.asarray(v8_u[li]), jnp.asarray(vs_u[li]), jnp.asarray(valid_u),
+        quantize_q=True,
+    ).reshape(q.shape)
+    for pallas, bb in (("0", "1"), ("1", "1"), ("1", "4")):
+        os.environ["PADT_PALLAS"] = pallas
+        os.environ["PADT_DECODE_BB"] = bb
+        try:
+            ctx = contextlib.nullcontext() if (ON_TPU or pallas == "0") else _interp()
+            with ctx:
+                out = KV.decode_attention_int8(
+                    q, k8, ks, v8, vs, valid, layer=jnp.int32(li),
+                    fresh_kv=(k8n, ksn, v8n, vsn), quantize_q=True,
+                )
+        finally:
+            os.environ["PADT_PALLAS"] = "auto"
+            del os.environ["PADT_DECODE_BB"]
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2, err_msg=f"pallas={pallas} bb={bb}",
+        )
+
+
+def test_qi8_generate_greedy_matches_bf16_full_generation(monkeypatch):
+    """Re-judged accuracy gate for int8-native score dots: a FULL 64-step
+    greedy generation with quantized-q attention must still be
+    token-for-token identical to the bf16-cache generation on the tiny
+    parity model (same policy gate as the int8-KV default;
+    `test_int8_generate_greedy_matches_bf16_full_generation`)."""
+    from padt_tpu.config import padt_tiny
+    from padt_tpu.models import padt as P
+    from padt_tpu.preprocess.vision_process import ProcessedImage
+    from padt_tpu.utils.mock_tokenizer import make_tiny_tokenizer
+    from padt_tpu.vrt.processor import VisionTextProcessor
+
+    cfg = padt_tiny()
+    tok = make_tiny_tokenizer(cfg)
+    proc = VisionTextProcessor(tok, cfg, seq_bucket=64, patch_bucket=128)
+    proc.prepare(cfg.text.vocab_size)
+    rng = np.random.RandomState(5)
+    imgs = [
+        ProcessedImage(rng.randn(96, 1176).astype(np.float32), (1, 8, 12)),
+        ProcessedImage(rng.randn(64, 1176).astype(np.float32), (1, 8, 8)),
+    ]
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    batch = proc.build_batch(["find the dog", "describe"], imgs)
+    jb = {k: jnp.asarray(v) for k, v in batch.data.items()}
+    deltas = jnp.asarray(batch.rope_deltas)
+    n_steps = 64
+    ref = P.generate(params, cfg, jb, n_steps, deltas, eos_token_id=-1)
+    monkeypatch.setattr(KV, "_QI8_DEFAULT", True)
+    out = P.generate(params, cfg, jb, n_steps, deltas, eos_token_id=-1, kv_cache_dtype="int8")
+    tok_ref = np.asarray(ref.tokens)
+    tok_qi8 = np.asarray(out.tokens)
+    mismatch = np.nonzero(tok_ref != tok_qi8)
+    assert (tok_ref == tok_qi8).all(), (
+        f"quantized-q int8 attention diverged from bf16 at {mismatch}: "
+        f"{tok_ref[mismatch]} vs {tok_qi8[mismatch]}"
+    )
+    h_ref = np.asarray(ref.hidden, np.float32)
+    h_qi8 = np.asarray(out.hidden, np.float32)
+    rel = np.abs(h_qi8 - h_ref).max() / (np.abs(h_ref).max() + 1e-9)
+    assert rel < 0.08, rel
