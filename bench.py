@@ -39,7 +39,8 @@ def _config(batch=None):
         cfg = padt_7b().replace(max_image_patches=2304, vision_chunk_size=chunk)
         return cfg, batch, 16, 80, (1, 46, 46)
     if batch is None:
-        batch = 96  # largest known-good; main() falls back on OOM
+        batch = 112  # largest known-good (in-scan int8 prefill freed the
+        #              bf16 cache transient); main() falls back on OOM
     chunk = int(chunk_env) if chunk_env else (16 if batch > 32 else 0)
     cfg = padt_3b().replace(max_image_patches=2304, vision_chunk_size=chunk)
     return cfg, batch, 16, 80, (1, 46, 46)  # grid = 644px image
@@ -177,7 +178,7 @@ def main_with_fallback():
     wait_for_tpu()
     if os.environ.get("PADT_BENCH_BATCH") or os.environ.get("PADT_BENCH_SMALL") == "1":
         return main()
-    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (96, 64, 32, 16, 8)
+    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (112, 96, 64, 32, 16, 8)
     for b in ladder:
         try:
             return main(batch=b)

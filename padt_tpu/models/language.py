@@ -198,14 +198,27 @@ def prefill(
     position_ids: jnp.ndarray,  # (3, B, L)
     valid: jnp.ndarray,  # (B, L) bool
     capacity: int,
-) -> Tuple[jnp.ndarray, KVCache]:
+    kv_dtype: str = "bf16",
+) -> Tuple[jnp.ndarray, "KVCache | QuantKVCache"]:
     """Causal forward + cache seeded into slots [0, L).
 
     K/V are padded to capacity INSIDE the layer scan so only one per-layer
     transient exists (padding the stacked (layers, B, L, ...) output after the
     fact would briefly hold prefill-size + capacity-size copies — ~2.4 GB extra
-    at 3B/batch-48 shapes)."""
+    at 3B/batch-48 shapes).
+
+    kv_dtype="int8": each layer's K/V rows are quantized INSIDE the scan
+    (same math as `quantize_cache(prefill(...))` — quantize_kv is
+    per-(token, kv-head); only compile-level ulp drift differs) so the full
+    bf16 (layers, B, C, Hkv, hd) stack is never materialized: at 3B/b96/C768
+    that transient is ~2.7 GB and was the known batch-128 OOM blocker
+    (CLAUDE.md round-2)."""
     from ..ops.attention import use_pallas
+
+    if kv_dtype == "int8":
+        from ..ops.kv_cache import quantize_kv
+    elif kv_dtype != "bf16":
+        raise ValueError(f"unknown kv_dtype {kv_dtype!r}")
 
     b, l, _ = inputs_embeds.shape
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
@@ -239,16 +252,26 @@ def prefill(
         x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
         xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
         x = x + _mlp(xn, lp)
+        if kv_dtype == "int8":
+            # quantize AFTER padding: pad rows quantize to (q=0, scale=1e-8/127)
+            # exactly as quantize_cache produces on the padded bf16 stack
+            k8, ksc = quantize_kv(jnp.pad(k, pad).transpose(0, 2, 1, 3))
+            v8, vsc = quantize_kv(jnp.pad(v, pad).transpose(0, 2, 1, 3))
+            return x, (k8, ksc, v8, vsc)
         return x, (jnp.pad(k, pad), jnp.pad(v, pad))
 
-    x, (k_all, v_all) = jax.lax.scan(body, inputs_embeds, params["layers"])
+    x, ys = jax.lax.scan(body, inputs_embeds, params["layers"])
     hidden = rms_norm(x, params["final_ln_w"], cfg.rms_norm_eps)
-    cache = KVCache(
-        k=k_all,
-        v=v_all,
-        valid=jnp.pad(valid, [(0, 0), (0, capacity - l)]),
-        length=jnp.asarray(l, jnp.int32),
-    )
+    valid_pad = jnp.pad(valid, [(0, 0), (0, capacity - l)])
+    length = jnp.asarray(l, jnp.int32)
+    if kv_dtype == "int8":
+        k_all, ks_all, v_all, vs_all = ys
+        cache = QuantKVCache(
+            k=k_all, k_scale=ks_all, v=v_all, v_scale=vs_all,
+            valid=valid_pad, length=length,
+        )
+    else:
+        cache = KVCache(k=ys[0], v=ys[1], valid=valid_pad, length=length)
     return hidden, cache
 
 

@@ -430,16 +430,17 @@ def generate(
         capacity = -(-capacity // 128) * 128
     dtype = params["text"]["embed"].dtype
 
+    if kv_cache_dtype not in ("bf16", "int8"):
+        raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
     art = run_vision(params, cfg, batch)
     embeds = extended_embed(params, cfg, batch["input_ids"], art.proto, art.merged)
     valid = batch["attention_mask"].astype(bool)
+    # int8: quantized inside the prefill scan — the full bf16 cache stack
+    # (2.7 GB at 3B/b96/C768) is never materialized (the b128 OOM blocker)
     hidden, cache = language.prefill(
-        params["text"], tcfg, embeds, batch["position_ids"], valid, capacity
+        params["text"], tcfg, embeds, batch["position_ids"], valid, capacity,
+        kv_dtype=kv_cache_dtype,
     )
-    if kv_cache_dtype == "int8":
-        cache = language.quantize_cache(cache)
-    elif kv_cache_dtype != "bf16":
-        raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
     last_hidden = hidden[:, -1:, :]  # (B,1,D) — predicts the first new token
 
     if rng is None:

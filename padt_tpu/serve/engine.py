@@ -141,10 +141,10 @@ def prefill(
     art = padt_model.run_vision(params, cfg, batch)
     embeds = padt_model.extended_embed(params, cfg, batch["input_ids"], art.proto, art.merged)
     valid = batch["attention_mask"].astype(bool)
-    hidden, cache = language.prefill(
-        params["text"], cfg.text, embeds, batch["position_ids"], valid, capacity
+    hidden, qc = language.prefill(
+        params["text"], cfg.text, embeds, batch["position_ids"], valid, capacity,
+        kv_dtype="int8",  # quantized inside the scan: no full bf16 cache stack
     )
-    qc = language.quantize_cache(cache)
     r = batch["input_ids"].shape[0]
     # left-aligned prompt context for n-gram draft lookups (prompts are
     # LEFT-padded: real tokens are the last plen of each row)

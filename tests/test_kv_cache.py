@@ -874,3 +874,34 @@ def test_qi8_generate_greedy_matches_bf16_full_generation(monkeypatch):
     h_qi8 = np.asarray(out.hidden, np.float32)
     rel = np.abs(h_qi8 - h_ref).max() / (np.abs(h_ref).max() + 1e-9)
     assert rel < 0.08, rel
+
+
+@pytest.mark.smoke
+def test_prefill_int8_matches_quantize_after():
+    """In-scan int8 prefill quantization (kv_dtype='int8') must match
+    quantize_cache(prefill_bf16(...)) — quantize_kv is per-(token, kv-head),
+    so per-layer application inside the scan changes nothing mathematically. The direct path exists so the full bf16 cache stack (the known
+    batch-128 OOM transient, ~2.7 GB at 3B/b96/C768) is never materialized."""
+    from padt_tpu.config import padt_tiny
+    from padt_tpu.models import language as L2
+
+    cfg = padt_tiny().text
+    params = L2.init_text_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    rng = np.random.RandomState(7)
+    b, l, cap = 2, 16, 32
+    emb = jnp.asarray(rng.randn(b, l, cfg.hidden_size) * 0.1, jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(l)[None, None, :], (3, b, l)).astype(jnp.int32)
+    valid = jnp.asarray(rng.rand(b, l) > 0.2)
+    h_ref, cache = L2.prefill(params, cfg, emb, pos, valid, cap)
+    q_ref = L2.quantize_cache(cache)
+    h_direct, q_direct = L2.prefill(params, cfg, emb, pos, valid, cap, kv_dtype="int8")
+    # the two paths are DIFFERENT compiled programs: XLA may tile the k/v
+    # projection dots differently, so f32 K/V (and hence amax scales) can
+    # drift by ~1 ulp — assert quantum-level agreement, not bitwise
+    np.testing.assert_allclose(np.asarray(h_ref), np.asarray(h_direct), rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(q_ref.k, np.int32) - np.asarray(q_direct.k, np.int32)).max() <= 1
+    assert np.abs(np.asarray(q_ref.v, np.int32) - np.asarray(q_direct.v, np.int32)).max() <= 1
+    np.testing.assert_allclose(np.asarray(q_ref.k_scale), np.asarray(q_direct.k_scale), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_ref.v_scale), np.asarray(q_direct.v_scale), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(q_ref.valid), np.asarray(q_direct.valid))
+    assert int(q_direct.length) == l
