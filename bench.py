@@ -59,16 +59,19 @@ def main(batch=None):
 
     if os.environ.get("PADT_BENCH_MODEL", "3b") == "7b":
         # int8 layer weights built directly (bf16 7B cannot be materialized
-        # then quantized in 15.75 GB HBM)
+        # then quantized in 15.75 GB HBM). NOT packed: the concat transient
+        # (~4.3 GB while the unfused int8 stacks are still alive) OOMs on
+        # one chip — packing real 7B checkpoints happens host-side in
+        # convert/load, not on-device.
         params = P.init_padt_params_quantized(cfg, jax.random.PRNGKey(0), dtype)
     else:
         params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
         if os.environ.get("PADT_BENCH_INT8", "0") == "1":
             params = P.quantize_params(params)
-    if os.environ.get("PADT_BENCH_PACKED", "1") == "1":
-        # fused qkv / gateup weight streams (bit-exact; PADT_BENCH_PACKED=0
-        # restores the unfused layout for A/B)
-        params = P.pack_inference_params(params)
+        if os.environ.get("PADT_BENCH_PACKED", "1") == "1":
+            # fused qkv / gateup weight streams (PADT_BENCH_PACKED=0 restores
+            # the unfused layout for A/B)
+            params = P.pack_inference_params(params)
 
     grids = [grid] * batch_size
     s_max = cfg.max_image_patches

@@ -199,6 +199,7 @@ def prefill(
     valid: jnp.ndarray,  # (B, L) bool
     capacity: int,
     kv_dtype: str = "bf16",
+    batch_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, "KVCache | QuantKVCache"]:
     """Causal forward + cache seeded into slots [0, L).
 
@@ -212,7 +213,16 @@ def prefill(
     per-(token, kv-head); only compile-level ulp drift differs) so the full
     bf16 (layers, B, C, Hkv, hd) stack is never materialized: at 3B/b96/C768
     that transient is ~2.7 GB and was the known batch-128 OOM blocker
-    (CLAUDE.md round-2)."""
+    (CLAUDE.md round-2).
+
+    batch_chunk: when set (and it divides B, B > chunk), each layer runs as a
+    sequential `lax.map` over batch sub-chunks. Rows are independent in a
+    causal prefill, so the math is identical; per-layer activation transients
+    (the (B, L, ff) MLP intermediates + qkv projections, ~3.8 GB at 3B/b112)
+    shrink to one chunk's worth. All chunk outputs are batch-leading, so
+    reassembly is a free contiguous reshape — no transpose copies. This is
+    the memory lever for decode batches past 112 on one chip (decode is
+    weight-stream-bound: larger B amortizes the weight read)."""
     from ..ops.attention import use_pallas
 
     if kv_dtype == "int8":
@@ -229,36 +239,50 @@ def prefill(
     fused_rope = use_pallas() and l % 128 == 0 and cfg.head_dim % 128 == 0
     h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    def body(x, lp):
-        xn = rms_norm(x, lp["input_ln_w"], cfg.rms_norm_eps)
+    def layer_chunk(lp, xc, cosc, sinc, validc):
+        bc = xc.shape[0]
+        xn = rms_norm(xc, lp["input_ln_w"], cfg.rms_norm_eps)
         if fused_rope and _packed(lp):
             from ..ops.pallas_attention import rope_pair_fused_qkv
 
-            qkvp = qlinear(lp, "qkv_w", xn) + lp["qkv_b"]  # (B, L, (H+2Hkv)*hd)
-            qr, kr = rope_pair_fused_qkv(qkvp, cos, sin, h, hkv)
-            q, k = qr.reshape(b, l, h, hd), kr.reshape(b, l, hkv, hd)
-            v = qkvp[..., (h + hkv) * hd :].reshape(b, l, hkv, hd)
+            qkvp = qlinear(lp, "qkv_w", xn) + lp["qkv_b"]  # (bc, L, (H+2Hkv)*hd)
+            qr, kr = rope_pair_fused_qkv(qkvp, cosc, sinc, h, hkv)
+            q, k = qr.reshape(bc, l, h, hd), kr.reshape(bc, l, hkv, hd)
+            v = qkvp[..., (h + hkv) * hd :].reshape(bc, l, hkv, hd)
         elif fused_rope:
             from ..ops.pallas_attention import rope_pair_packed
 
-            qp = qlinear(lp, "q_w", xn) + lp["q_b"]  # (B, L, H*hd) packed
-            kp = qlinear(lp, "k_w", xn) + lp["k_b"]  # (B, L, Hkv*hd)
-            v = (qlinear(lp, "v_w", xn) + lp["v_b"]).reshape(b, l, hkv, hd)
-            qr, kr = rope_pair_packed(qp, kp, cos, sin, h, hkv)
-            q, k = qr.reshape(b, l, h, hd), kr.reshape(b, l, hkv, hd)
+            qp = qlinear(lp, "q_w", xn) + lp["q_b"]  # (bc, L, H*hd) packed
+            kp = qlinear(lp, "k_w", xn) + lp["k_b"]  # (bc, L, Hkv*hd)
+            v = (qlinear(lp, "v_w", xn) + lp["v_b"]).reshape(bc, l, hkv, hd)
+            qr, kr = rope_pair_packed(qp, kp, cosc, sinc, h, hkv)
+            q, k = qr.reshape(bc, l, h, hd), kr.reshape(bc, l, hkv, hd)
         else:
-            q, k, v = _qkv(xn, lp, cfg, cos, sin)
-        attn = causal_attention(q, k, v, valid)
-        x = x + qlinear(lp, "o_w", attn.reshape(*x.shape[:2], -1))
-        xn = rms_norm(x, lp["post_ln_w"], cfg.rms_norm_eps)
-        x = x + _mlp(xn, lp)
+            q, k, v = _qkv(xn, lp, cfg, cosc, sinc)
+        attn = causal_attention(q, k, v, validc)
+        xc = xc + qlinear(lp, "o_w", attn.reshape(bc, l, -1))
+        xn = rms_norm(xc, lp["post_ln_w"], cfg.rms_norm_eps)
+        xc = xc + _mlp(xn, lp)
         if kv_dtype == "int8":
             # quantize AFTER padding: pad rows quantize to (q=0, scale=1e-8/127)
             # exactly as quantize_cache produces on the padded bf16 stack
             k8, ksc = quantize_kv(jnp.pad(k, pad).transpose(0, 2, 1, 3))
             v8, vsc = quantize_kv(jnp.pad(v, pad).transpose(0, 2, 1, 3))
-            return x, (k8, ksc, v8, vsc)
-        return x, (jnp.pad(k, pad), jnp.pad(v, pad))
+            return xc, (k8, ksc, v8, vsc)
+        return xc, (jnp.pad(k, pad), jnp.pad(v, pad))
+
+    chunked = bool(batch_chunk) and b > batch_chunk and b % batch_chunk == 0
+
+    def body(x, lp):
+        if not chunked:
+            return layer_chunk(lp, x, cos, sin, valid)
+        nc = b // batch_chunk
+        split = lambda a: a.reshape(nc, batch_chunk, *a.shape[1:])
+        x2, kv = jax.lax.map(
+            lambda t: layer_chunk(lp, *t), (split(x), split(cos), split(sin), split(valid))
+        )
+        merge = lambda a: a.reshape(b, *a.shape[2:])
+        return merge(x2), jax.tree.map(merge, kv)
 
     x, ys = jax.lax.scan(body, inputs_embeds, params["layers"])
     hidden = rms_norm(x, params["final_ln_w"], cfg.rms_norm_eps)

@@ -727,7 +727,11 @@ class ServeEngine:
         #                              real-weights regime where every budget is
         #                              an uninformative 1024 and EOS stops slots)
         packed_weights: bool = True,  # fused qkv/gateup weight streams
-        #                               (bit-exact; padt.pack_inference_params)
+        #                               (padt.pack_inference_params). Pass
+        #                               False for models whose concat transient
+        #                               doesn't fit HBM next to the unfused
+        #                               weights (7B int8 on one v5e chip) —
+        #                               pack those host-side at load instead.
     ):
         if packed_weights:
             params = padt_model.pack_inference_params(params)
