@@ -183,6 +183,8 @@ class InferenceEngine:
         cfg, proc = self.cfg, self.processor
         from ..preprocess.vision_process import ProcessedImage
 
+        t_call0 = time.perf_counter()  # host-vs-device split: see last_stream_stats
+
         if image_sizes is None:
             image_sizes = []
             for img in images:
@@ -289,8 +291,12 @@ class InferenceEngine:
                 patch_bucket=pb, suffix_bucket=sbucket,
                 prefix_cache_entries=prefix_cache_entries,
             )
-            comps, _ = eng.run(reqs)
-            return self._stream_tail(comps, image_sizes)
+            t_run0 = time.perf_counter()
+            comps, sstats = eng.run(reqs)
+            t_run1 = time.perf_counter()
+            out = self._stream_tail(comps, image_sizes)
+            self._record_stream_stats(t_call0, t_run0, t_run1, sstats)
+            return out
         batches = [
             proc.build_batch([p], [img], patch_bucket=pb, prompt_bucket=prompt_bucket)
             for p, img in zip(prompts, images)
@@ -336,8 +342,39 @@ class InferenceEngine:
             prefill_bucket=prefill_bucket, chunk_steps=chunk_steps,
             patch_bucket=pb,
         )
-        comps, _ = eng.run(reqs)
-        return self._stream_tail(comps, image_sizes)
+        t_run0 = time.perf_counter()
+        comps, sstats = eng.run(reqs)
+        t_run1 = time.perf_counter()
+        out = self._stream_tail(comps, image_sizes)
+        self._record_stream_stats(t_call0, t_run0, t_run1, sstats)
+        return out
+
+    def _record_stream_stats(self, t_call0, t_run0, t_run1, sstats):
+        """Accumulate the run_stream host-vs-engine split across calls:
+        `build_s` = host request construction (image patch extraction +
+        tokenization on ONE cpu core — the dataset-eval bottleneck candidate),
+        `run_s` = ServeEngine.run wall (prefill_s/decode_s device-dominated),
+        `tail_s` = parse + vl_decode + mask postprocess. Read/reset via
+        `pop_stream_stats` (infer_dataset aggregates and prints them)."""
+        now = time.perf_counter()
+        acc = getattr(self, "_stream_stats", None)
+        if acc is None:
+            acc = self._stream_stats = {
+                "build_s": 0.0, "run_s": 0.0, "tail_s": 0.0,
+                "engine_prefill_s": 0.0, "engine_decode_s": 0.0,
+                "generated_tokens": 0,
+            }
+        acc["build_s"] += t_run0 - t_call0
+        acc["run_s"] += t_run1 - t_run0
+        acc["tail_s"] += now - t_run1
+        acc["engine_prefill_s"] += sstats.prefill_s
+        acc["engine_decode_s"] += sstats.decode_s
+        acc["generated_tokens"] += sstats.generated_tokens
+
+    def pop_stream_stats(self) -> Optional[Dict]:
+        s = getattr(self, "_stream_stats", None)
+        self._stream_stats = None
+        return s
 
     def _stream_tail(self, comps, image_sizes) -> List[SampleResult]:
         """Serve completions -> padded token/hidden/artifact stacks -> the
@@ -513,14 +550,22 @@ def infer_dataset(
     wall = time.perf_counter() - t_all
     if rank == 0 and n_done:
         # dataset-scale throughput + host-vs-engine split (one CPU core makes
-        # host-side image IO a real bottleneck candidate — measure, don't guess)
-        print(json.dumps({
-            "infer_dataset_stats": {
-                "samples": n_done, "wall_s": round(wall, 2),
-                "samples_per_sec": round(n_done / wall, 3),
-                "host_image_io_s": round(t_imgio, 2),
-                "engine_s": round(t_engine, 2),
-                "emit_jsonl_s": round(t_emit, 2),
+        # host-side preprocessing a real bottleneck candidate — measure, don't
+        # guess). NOTE: PIL decodes lazily, so `host_image_io_s` is open/stat
+        # only; the decode + patch-extraction cost is in the stream split's
+        # `build_s` (run_stream request construction).
+        stats = {
+            "samples": n_done, "wall_s": round(wall, 2),
+            "samples_per_sec": round(n_done / wall, 3),
+            "host_image_io_s": round(t_imgio, 2),
+            "engine_s": round(t_engine, 2),
+            "emit_jsonl_s": round(t_emit, 2),
+        }
+        split = engine.pop_stream_stats() if stream else None
+        if split:
+            stats["stream_split"] = {
+                k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in split.items()
             }
-        }))
+        print(json.dumps({"infer_dataset_stats": stats}))
     return res_path, comp_path

@@ -1383,12 +1383,27 @@ def decode_attention_int8_multi(
     #              K new positions — the caller's row store happens once,
     #              post-scan, on a stack the kernels never read (see
     #              decode_attention_int8's fresh_kv note).
+    quantize_q=None,  # int8-native score dots (PADT_DECODE_QI8). NOT
+    #              implemented for the multi-query kernels: quantized-q decode
+    #              mixed with bf16-q verify would make speculative decoding
+    #              non-equivalent to plain decode, so this raises instead of
+    #              silently ignoring the flag (advisor r4, medium).
 ) -> jnp.ndarray:
     """Grouped K-token attention over the int8 cache -> (B, K, H, hd).
     Query i attends valid positions <= write_pos + i (causal over the new
     block). One cache read serves all K queries — the HBM economics that make
     speculative decoding pay on a bandwidth-bound decode."""
     from .attention import use_pallas
+
+    if quantize_q is None:
+        quantize_q = _QI8_DEFAULT
+    if quantize_q:
+        raise NotImplementedError(
+            "quantize_q (PADT_DECODE_QI8) is only implemented for the "
+            "single-step fresh_kv decode paths; the multi-query (speculative "
+            "verify / suffix prefill) kernels run bf16 score dots. Unset "
+            "PADT_DECODE_QI8 for engine/spec-decode workloads."
+        )
 
     b, kq, h, hd = q.shape
     hkv = k8.shape[1] if layer is None else k8.shape[2]
@@ -1550,6 +1565,15 @@ def decode_attention_int8(
 
     if quantize_q is None:
         quantize_q = _QI8_DEFAULT
+    if quantize_q and fresh_kv is None:
+        # only the fresh_kv kernels implement the int8-native score dot; a
+        # silent bf16 fallback here would mix semantics across paths under
+        # one flag (advisor r4, medium) — fail loudly instead
+        raise NotImplementedError(
+            "quantize_q (PADT_DECODE_QI8) is only implemented for the "
+            "fresh_kv decode paths; this stacked/tiled/plain path would "
+            "silently run bf16 score dots."
+        )
     b, _, h, hd = q.shape
     hkv = k8.shape[1] if layer is None else k8.shape[2]
     qg = q.reshape(b, hkv, h // hkv, hd)  # kv head j serves q heads [jG, (j+1)G)

@@ -688,6 +688,39 @@ class ServeStats:
         return self.generated_tokens / self.wall_s if self.wall_s > 0 else 0.0
 
 
+_HBM_BUDGET_BYTES = 15.2e9  # usable v5e HBM (15.75 GB) minus runtime slack
+
+
+def _pack_transient_fits(params) -> bool:
+    """Whether `pack_inference_params` can run on-device: its fused qkv/gateup
+    concats live NEXT TO the unfused stacks until the old leaves are freed,
+    so live params + fused copies must fit HBM. int8-7B's ~4.3 GB transient
+    OOMs one v5e chip (bench.py) — detect that instead of crashing the
+    default-args constructor (advisor r4). Non-TPU or multi-device (sharded
+    params): assume it fits."""
+    try:
+        leaves = jax.tree.leaves(params)
+        devs = {getattr(x, "device", None) for x in leaves if hasattr(x, "device")}
+        if len(jax.devices()) > 1 or not any(
+            getattr(d, "platform", "") == "tpu" for d in devs if d is not None
+        ):
+            return True
+        live = sum(x.size * x.dtype.itemsize for x in leaves)
+        layers = params["text"]["layers"]
+        fused_sources = (
+            "q_w", "k_w", "v_w", "gate_w", "up_w", "q_b", "k_b", "v_b",
+            "q_w_q", "q_w_s", "k_w_q", "k_w_s", "v_w_q", "v_w_s",
+            "gate_w_q", "gate_w_s", "up_w_q", "up_w_s",
+        )
+        transient = sum(
+            layers[n].size * layers[n].dtype.itemsize
+            for n in fused_sources if n in layers
+        )
+        return live + transient <= _HBM_BUDGET_BYTES
+    except Exception:
+        return True  # never let the guard itself break construction
+
+
 class ServeEngine:
     """Host scheduler around the jitted prefill / insert / decode_chunk ops.
 
@@ -733,6 +766,16 @@ class ServeEngine:
         #                               weights (7B int8 on one v5e chip) —
         #                               pack those host-side at load instead.
     ):
+        if packed_weights and not _pack_transient_fits(params):
+            # int8-7B on one v5e: the on-device concat transient (~4.3 GB of
+            # fused copies next to the live unfused stacks) OOMs — auto-skip
+            # instead of crashing a default-args constructor (advisor r4)
+            print(
+                "ServeEngine: skipping packed_weights — the pack concat "
+                "transient would exceed single-chip HBM; pack host-side at "
+                "load or pass packed_weights=False to silence this."
+            )
+            packed_weights = False
         if packed_weights:
             params = padt_model.pack_inference_params(params)
         self.params = params

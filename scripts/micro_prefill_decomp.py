@@ -7,15 +7,18 @@ generate() prefill path on chip so the residual is attributed, not guessed:
 
   vision      run_vision (chunked tower + window scatter + merger)
   embed       extended_embed (token embed + VRT prototype splice)
-  text        language.prefill (36-layer causal forward + cache seed)
-  quant       quantize_cache (bf16 -> int8 cache)
+  text        language.prefill(kv_dtype="int8") — 36-layer causal forward
+              with IN-SCAN int8 cache quantization, exactly what generate()
+              runs since round 4 (PADT_MICRO_KV=bf16 restores the legacy
+              quantize-after decomposition: bf16 prefill + quantize_cache)
   logits      extended_logits on the last position (first-token head)
 
 Each stage is timed as its own jit with host-readback sync (axon:
 block_until_ready does not sync; per-dispatch overhead ~36 ms is small vs
 the 0.2-2.5 s stages). REPS=3, min taken.
 
-Env: PADT_MICRO_B (96), PADT_MICRO_REPS (3), PADT_MICRO_PACKED (1).
+Env: PADT_MICRO_B (96), PADT_MICRO_REPS (3), PADT_MICRO_PACKED (1),
+PADT_MICRO_KV (int8).
 """
 
 import json
@@ -109,9 +112,11 @@ def main():
     )
     results["embed_s"] = round(t, 4)
     valid = batch["attention_mask"].astype(bool)
+    kv_dtype = os.environ.get("PADT_MICRO_KV", "int8")  # generate()'s path
     t, (hidden, cache) = timed(
         lambda p, e, bt: language.prefill(
-            p["text"], cfg.text, e, bt["position_ids"], valid, capacity
+            p["text"], cfg.text, e, bt["position_ids"], valid, capacity,
+            kv_dtype=kv_dtype,
         ),
         params, embeds, batch,
     )
@@ -119,9 +124,12 @@ def main():
     # free stage outputs generate() would have dropped — keeping embeds + the
     # bf16 cache + its int8 copy all alive OOMs at b96 where generate fits
     del embeds
-    t, qcache = timed(lambda c: language.quantize_cache(c), cache)
-    results["quant_cache_s"] = round(t, 4)
-    del cache, qcache
+    if kv_dtype == "bf16":
+        # legacy quantize-after path, kept for comparison against in-scan
+        t, qcache = timed(lambda c: language.quantize_cache(c), cache)
+        results["quant_cache_s"] = round(t, 4)
+        del qcache
+    del cache
     t, _ = timed(
         lambda p, h, pr, nmg: P.extended_logits(p, cfg, h[:, -1:], pr, nmg),
         params, hidden, art.proto, art.num_merged,

@@ -876,6 +876,34 @@ def test_qi8_generate_greedy_matches_bf16_full_generation(monkeypatch):
     assert rel < 0.08, rel
 
 
+def test_qi8_unsupported_paths_fail_loudly(monkeypatch):
+    """quantize_q is implemented only for the single-step fresh_kv kernels;
+    the multi-query (spec verify / suffix prefill) and non-fresh paths must
+    raise instead of silently running bf16 score dots under the flag
+    (advisor r4 medium: a silent fallback makes spec decoding non-equivalent
+    to plain decode with PADT_DECODE_QI8=1)."""
+    q, k8, ks, v8, vs, valid = _stacked_int8_inputs(b=2)
+    nl, b, hkv, c, hd = k8.shape
+    # non-fresh single-step stacked path
+    with pytest.raises(NotImplementedError):
+        KV.decode_attention_int8(
+            q, k8, ks, v8, vs, valid, layer=jnp.int32(0), quantize_q=True
+        )
+    # multi-query path (explicit flag)
+    qm = jnp.broadcast_to(q, (b, 2) + q.shape[2:])
+    wp = jnp.zeros((b,), jnp.int32)
+    with pytest.raises(NotImplementedError):
+        KV.decode_attention_int8_multi(
+            qm, k8, ks, v8, vs, valid, wp, layer=jnp.int32(0), quantize_q=True
+        )
+    # multi-query path picks up the env default too
+    monkeypatch.setattr(KV, "_QI8_DEFAULT", True)
+    with pytest.raises(NotImplementedError):
+        KV.decode_attention_int8_multi(
+            qm, k8, ks, v8, vs, valid, wp, layer=jnp.int32(0)
+        )
+
+
 @pytest.mark.smoke
 def test_prefill_int8_matches_quantize_after():
     """In-scan int8 prefill quantization (kv_dtype='int8') must match
