@@ -488,23 +488,23 @@ def infer_dataset(
     per = math.ceil(n / (world * batch_size)) * batch_size
     my_idx = range(rank * per, min((rank + 1) * per, n), batch_size)
 
-    t_imgio = t_engine = t_emit = 0.0
-    n_done = 0
-    t_all = time.perf_counter()
-    for start in my_idx:
+    from ..preprocess.vision_process import process_image
+
+    def _load_chunk(start):
+        """Host-side chunk prep: rows + PIL decode + resize + patch extraction
+        (ProcessedImage). This is ~half of steady-state wall on the one-core
+        host (stream_split.build_s, round-5 measurement) — it runs on a
+        lookahead worker thread so it overlaps the previous chunk's device
+        work (the engine's chunk waits are GIL-releasing readbacks)."""
         rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
         if not rows:
-            continue
-        if rank == 0 and (start // batch_size) % log_every == 0:
-            print(f"Processing {start}... | Total: {n}")
+            return None
         # pad the trailing partial batch to the full batch size (repeat the
         # last row, drop its results) — a smaller batch dim would trigger a
         # fresh jit compile, 1-8 min on the remote compile server
         n_real = len(rows)
         rows = rows + [rows[-1]] * (batch_size - n_real)
-        prompts = [r["problem"] for r in rows]
-        t0 = time.perf_counter()
-        images, paths, img_cache = [], [], {}
+        images, sizes, paths, img_cache = [], [], [], {}
         for r in rows:
             path = r["image_path"][0] if isinstance(r["image_path"], list) else r["image_path"]
             if path not in img_cache:
@@ -512,23 +512,63 @@ def infer_dataset(
                 img = ensure_min_28(img)
                 if max_side and max(img.size) > max_side:
                     img = resize_max_side(img, max_side)
-                img_cache[path] = img
-            images.append(img_cache[path])
+                # patch extraction here (not in run_stream) so it prefetches;
+                # bbox px stay in the RESIZED image frame (reference scale),
+                # not the model-input frame ProcessedImage would imply
+                img_cache[path] = (
+                    process_image(img, engine.processor.min_pixels, engine.processor.max_pixels),
+                    img.size,
+                )
+            pi, sz = img_cache[path]
+            images.append(pi)
+            sizes.append(sz)
             paths.append(path)
-        t_imgio += time.perf_counter() - t0
+        return rows[:n_real], images, sizes, paths
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    futures = {}
+
+    def _chunk(start):
+        fut = futures.pop(start, None)
+        return fut.result() if fut is not None else _load_chunk(start)
+
+    t_imgio = t_engine = t_emit = 0.0
+    n_done = 0
+    t_all = time.perf_counter()
+    idx_list = list(my_idx)
+    for pos_i, start in enumerate(idx_list):
+        if pos_i == 0:
+            futures[start] = pool.submit(_load_chunk, start)
+        t0 = time.perf_counter()
+        loaded = _chunk(start)
+        t_imgio += time.perf_counter() - t0  # prefetch-miss time only
+        if pos_i + 1 < len(idx_list):  # one-chunk lookahead
+            nxt = idx_list[pos_i + 1]
+            futures[nxt] = pool.submit(_load_chunk, nxt)
+        if loaded is None:
+            continue
+        rows, images, sizes, paths = loaded
+        n_real = len(rows)
+        prompts = [r["problem"] for r in rows] + [rows[-1]["problem"]] * (batch_size - n_real)
+        if rank == 0 and (start // batch_size) % log_every == 0:
+            print(f"Processing {start}... | Total: {n}")
         t0 = time.perf_counter()
         if stream:
             results = engine.run_stream(
-                prompts, images, n_slots=n_slots, prefill_bucket=prefill_bucket,
+                prompts, images, image_sizes=sizes, n_slots=n_slots,
+                prefill_bucket=prefill_bucket,
                 chunk_steps=chunk_steps, prompt_bucket=prompt_bucket,
                 share_prefix=share_prefix,
                 suffix_bucket=128 if share_prefix else None,
                 prefix_keys=paths if share_prefix else None,
             )[:n_real]
         else:
-            results = engine.run_batch(prompts, images, prompt_bucket=prompt_bucket)[:n_real]
+            results = engine.run_batch(
+                prompts, images, image_sizes=sizes, prompt_bucket=prompt_bucket
+            )[:n_real]
         t_engine += time.perf_counter() - t0
-        rows = rows[:n_real]
         n_done += n_real
         t0 = time.perf_counter()
         with open(comp_path, "a") as f:
@@ -547,17 +587,18 @@ def infer_dataset(
                         row["mask"] = {"size": o.mask_rle["size"], "counts": o.mask_rle["counts"]}
                     f.write(json.dumps(row) + "\n")
         t_emit += time.perf_counter() - t0
+    pool.shutdown(wait=False)
     wall = time.perf_counter() - t_all
     if rank == 0 and n_done:
         # dataset-scale throughput + host-vs-engine split (one CPU core makes
-        # host-side preprocessing a real bottleneck candidate — measure, don't
-        # guess). NOTE: PIL decodes lazily, so `host_image_io_s` is open/stat
-        # only; the decode + patch-extraction cost is in the stream split's
-        # `build_s` (run_stream request construction).
+        # host-side preprocessing a real bottleneck — measured 48% of warm
+        # wall, round 5). `host_prefetch_wait_s` is the time the main loop
+        # WAITED on the lookahead preprocessing thread (0 = fully overlapped
+        # with device work); the thread's own cost no longer serializes.
         stats = {
             "samples": n_done, "wall_s": round(wall, 2),
             "samples_per_sec": round(n_done / wall, 3),
-            "host_image_io_s": round(t_imgio, 2),
+            "host_prefetch_wait_s": round(t_imgio, 2),
             "engine_s": round(t_engine, 2),
             "emit_jsonl_s": round(t_emit, 2),
         }

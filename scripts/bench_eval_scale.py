@@ -13,7 +13,10 @@ val2017 (5k images, batched REC/OVD prompts).
 
 Env: PADT_EVAL_N (1024), PADT_EVAL_MODEL (random:3b), PADT_EVAL_ENGINE
 (stream), PADT_EVAL_BATCH (32), PADT_EVAL_SLOTS (16), PADT_EVAL_MAXNEW (25),
-PADT_EVAL_DIR (reuse an already-generated image dir), PADT_EVAL_SIDE (640).
+PADT_EVAL_DIR (reuse an already-generated image dir), PADT_EVAL_SIDE (640),
+PADT_EVAL_PASSES (1; 2 = report warm steady-state on the cached engine),
+PADT_EVAL_PREFILL_BUCKET (4), PADT_EVAL_CHUNK_STEPS (8),
+PADT_EVAL_PROMPT_BUCKET (unset), PADT_EVAL_SHARE_PREFIX (0).
 """
 
 import json
@@ -82,7 +85,14 @@ def main():
         "--max_new_tokens", str(MAXNEW), "--engine", ENGINE,
         "--n_slots", str(SLOTS), "--output_dir", os.path.join(root, "out"),
         "--suffix", "scale",
+        "--passes", os.environ.get("PADT_EVAL_PASSES", "1"),
+        "--prefill_bucket", os.environ.get("PADT_EVAL_PREFILL_BUCKET", "4"),
+        "--chunk_steps", os.environ.get("PADT_EVAL_CHUNK_STEPS", "8"),
     ]
+    if os.environ.get("PADT_EVAL_PROMPT_BUCKET"):
+        sys.argv += ["--prompt_bucket", os.environ["PADT_EVAL_PROMPT_BUCKET"]]
+    if os.environ.get("PADT_EVAL_SHARE_PREFIX", "0") == "1":
+        sys.argv += ["--share_prefix"]
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(

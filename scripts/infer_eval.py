@@ -53,12 +53,20 @@ def cmd_infer(a):
         cfg, params, processor = load_model(a.model)
     dataset = load_jsonl_datasets([a.data], [a.image_folder])
     engine = InferenceEngine(params, cfg, processor, max_new_tokens=a.max_new_tokens)
-    res, comp = infer_dataset(
-        engine, dataset, a.output_dir, batch_size=a.batch_size,
-        datasetname=a.dataset, suffix=a.suffix, max_side=a.max_side,
-        stream=a.engine == "stream", share_prefix=a.share_prefix,
-        n_slots=a.n_slots,
-    )
+    # --passes 2: second pass reuses the cached serve engine + compiled
+    # programs — separates one-time compile cost (1-8 min on the remote
+    # compile server) from steady-state dataset throughput. Pass 1 stats are
+    # cold, last pass is the steady-state number.
+    for p in range(a.passes):
+        if a.passes > 1:
+            print(f"--- pass {p + 1}/{a.passes} ---")
+        res, comp = infer_dataset(
+            engine, dataset, a.output_dir, batch_size=a.batch_size,
+            datasetname=a.dataset, suffix=a.suffix, max_side=a.max_side,
+            stream=a.engine == "stream", share_prefix=a.share_prefix,
+            n_slots=a.n_slots, prefill_bucket=a.prefill_bucket,
+            chunk_steps=a.chunk_steps, prompt_bucket=a.prompt_bucket,
+        )
     print("wrote", res, comp)
 
 
@@ -158,6 +166,18 @@ def main():
         "cache); wins when the dataset has several prompts per image (RefCOCO)",
     )
     ai.add_argument("--n_slots", type=int, default=16)
+    ai.add_argument("--prefill_bucket", type=int, default=4)
+    ai.add_argument("--chunk_steps", type=int, default=8)
+    ai.add_argument(
+        "--prompt_bucket", type=int, default=None,
+        help="pin ONE prompt bucket (128-multiple) so every chunk reuses one "
+        "compiled engine; default picks up to 3 buckets per chunk",
+    )
+    ai.add_argument(
+        "--passes", type=int, default=1,
+        help=">1: repeat the dataset on the warm engine; last pass's "
+        "infer_dataset_stats is the steady-state throughput",
+    )
 
     asc = sub.add_parser("score")
     asc.add_argument("--task", choices=["coco", "refcoco"], required=True)
