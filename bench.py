@@ -59,11 +59,14 @@ def main(batch=None):
 
     if os.environ.get("PADT_BENCH_MODEL", "3b") == "7b":
         # int8 layer weights built directly (bf16 7B cannot be materialized
-        # then quantized in 15.75 GB HBM). NOT packed: the concat transient
-        # (~4.3 GB while the unfused int8 stacks are still alive) OOMs on
-        # one chip — packing real 7B checkpoints happens host-side in
-        # convert/load, not on-device.
-        params = P.init_padt_params_quantized(cfg, jax.random.PRNGKey(0), dtype)
+        # then quantized in 15.75 GB HBM), in the FUSED qkv/gateup layout
+        # (packed=True) — on-device packing's ~4.3 GB concat transient OOMs
+        # one chip, so the fused stacks are built straight away; real 7B
+        # checkpoints pack host-side in convert/load.
+        params = P.init_padt_params_quantized(
+            cfg, jax.random.PRNGKey(0), dtype,
+            packed=os.environ.get("PADT_BENCH_PACKED", "1") == "1",
+        )
     else:
         params = P.init_padt_params(cfg, jax.random.PRNGKey(0), dtype)
         if os.environ.get("PADT_BENCH_INT8", "0") == "1":
@@ -111,10 +114,19 @@ def main(batch=None):
     # int8 KV cache is the default serving config (1.21x at batch 96; parity
     # within int8 noise, tests/test_kv_cache.py). PADT_BENCH_KV=bf16 for exact.
     kv_dtype = os.environ.get("PADT_BENCH_KV", "int8")
+    # split prefill (language.prefill batch_chunk): bounds per-layer prefill
+    # activation transients so batches past 112 fit (decode keeps amortizing
+    # the weight stream with B). 0/unset = whole-batch prefill.
+    pchunk = int(os.environ.get("PADT_BENCH_PREFILL_CHUNK", "0")) or None
+    if pchunk is None and batch_size > 112 and batch_size % 2 == 0:
+        pchunk = batch_size // 2  # auto: halve the prefill transients
 
     def run(n_new):
         f = jax.jit(
-            lambda p, b, d: P.generate(p, cfg, b, n_new, d, kv_cache_dtype=kv_dtype),
+            lambda p, b, d: P.generate(
+                p, cfg, b, n_new, d, kv_cache_dtype=kv_dtype,
+                prefill_batch_chunk=pchunk,
+            ),
             static_argnums=(),
         )
         out = f(params, batch, deltas)

@@ -66,12 +66,20 @@ def init_padt_params(cfg: PaDTConfig, key, dtype=jnp.bfloat16) -> Dict[str, Any]
     return params
 
 
-def init_padt_params_quantized(cfg: PaDTConfig, key, dtype=jnp.bfloat16) -> Dict[str, Any]:
+def init_padt_params_quantized(
+    cfg: PaDTConfig, key, dtype=jnp.bfloat16, packed: bool = False
+) -> Dict[str, Any]:
     """Random init with the LLM layer weights DIRECTLY in per-channel int8
     (+f32 scales), the `quantize_params` layout. For 7B benches on one chip:
     bf16 7B params are 15.2 GB — they cannot be materialized and THEN
     quantized inside 15.75 GB HBM, so the quantized layout is built straight
-    away (int8 layers ~6.5 GB + bf16 embed/vision/decoder)."""
+    away (int8 layers ~6.5 GB + bf16 embed/vision/decoder).
+
+    packed=True builds the fused qkv_w_q/gateup_w_q serving layout
+    (`pack_inference_params` result) DIRECTLY — on-device packing of int8 7B
+    needs a ~4.3 GB concat transient next to the live unfused stacks and
+    OOMs one v5e chip; building fused avoids the transient entirely (random
+    int8 columns are distribution-identical either way)."""
     params = None
     tc = cfg.text
     kq, rest = jax.random.split(key)
@@ -83,20 +91,31 @@ def init_padt_params_quantized(cfg: PaDTConfig, key, dtype=jnp.bfloat16) -> Dict
     nl, d, ff = tc.num_hidden_layers, tc.hidden_size, tc.intermediate_size
     qd = tc.num_attention_heads * tc.head_dim
     kvd = tc.num_key_value_heads * tc.head_dim
-    shapes = {
-        "q_w": (d, qd), "k_w": (d, kvd), "v_w": (d, kvd), "o_w": (qd, d),
-        "gate_w": (d, ff), "up_w": (d, ff), "down_w": (ff, d),
-    }
+    if packed:
+        shapes = {
+            "qkv_w": (d, qd + 2 * kvd), "o_w": (qd, d),
+            "gateup_w": (d, 2 * ff), "down_w": (ff, d),
+        }
+        layers = {
+            "input_ln_w": jnp.ones((nl, d), dtype),
+            "post_ln_w": jnp.ones((nl, d), dtype),
+            "qkv_b": jnp.zeros((nl, qd + 2 * kvd), dtype),
+        }
+    else:
+        shapes = {
+            "q_w": (d, qd), "k_w": (d, kvd), "v_w": (d, kvd), "o_w": (qd, d),
+            "gate_w": (d, ff), "up_w": (d, ff), "down_w": (ff, d),
+        }
+        layers = {
+            "input_ln_w": jnp.ones((nl, d), dtype),
+            "post_ln_w": jnp.ones((nl, d), dtype),
+            "q_b": jnp.zeros((nl, qd), dtype),
+            "k_b": jnp.zeros((nl, kvd), dtype),
+            "v_b": jnp.zeros((nl, kvd), dtype),
+        }
     # uniform int8 in [-127,127] has std ~73; scale so dequantized weights
     # match the 0.02-std random init of the dense path
     scale = 0.02 / 73.0
-    layers = {
-        "input_ln_w": jnp.ones((nl, d), dtype),
-        "post_ln_w": jnp.ones((nl, d), dtype),
-        "q_b": jnp.zeros((nl, qd), dtype),
-        "k_b": jnp.zeros((nl, kvd), dtype),
-        "v_b": jnp.zeros((nl, kvd), dtype),
-    }
     ks = jax.random.split(kq, len(shapes))
     # per-layer generation: randint materializes uint32 random bits of the
     # FULL output shape (7.6 GB for 7B's stacked mlp weights) — lax.map keeps
@@ -217,10 +236,37 @@ _VISION_ONLY_KEYS = (
 )
 
 _VISION_CACHE_KEYS = ("vis_merged", "vis_high_res", "vis_pe_cos", "vis_pe_sin")
+# int8 cached-feature layout: merged/high_res (the ~7.6 MB/sample bulk) as
+# per-row symmetric int8 + f32 row scales; the small rope tables stay exact
+# (they feed attention phase math — see vision_features(quant="int8"))
+_VISION_CACHE_KEYS_INT8 = (
+    "vis_merged_q", "vis_merged_s", "vis_high_res_q", "vis_high_res_s",
+    "vis_pe_cos", "vis_pe_sin",
+)
+
+
+def vision_cache_keys(quant: str = "none") -> Tuple[str, ...]:
+    return _VISION_CACHE_KEYS_INT8 if quant == "int8" else _VISION_CACHE_KEYS
+
+
+def _quant_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (last-axis) symmetric int8: q in [-127,127], f32 scales shaped
+    (..., 1). Rows are feature vectors — one outlier channel only costs its
+    own row's resolution."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _dequant_rows(q: jnp.ndarray, s: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * s).astype(dtype)
 
 
 def vision_features(
     params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False,
+    quant: str = "none",
 ) -> Dict[str, jnp.ndarray]:
     """Run the (frozen) vision tower once and return the `vis_*` batch keys
     that make `forward_train`/`run_vision` skip it.
@@ -235,8 +281,23 @@ def vision_features(
 
     Size: ~10 MB/sample bf16 at 3B/644px (merged (M,2048) + high_res (S,1280)
     + rope tables) — cache on the HOST and stream per batch (needs ~batch x
-    10 MB/step of host->device feed, trivial on a real PCIe host)."""
+    10 MB/step of host->device feed, trivial on a real PCIe host).
+
+    quant="int8": merged/high_res returned as per-row int8 + f32 scales
+    (~2x smaller cache AND host<->device stream; the b16-cached OOM was 38 MB
+    over budget, BASELINE.md round-4). Rope tables stay exact. Features are
+    stop_gradient INPUTS, so quantization is a bounded forward perturbation,
+    not a gradient-path change — parity gated in tests/test_train_cache.py."""
     art = run_vision(params, cfg, batch, remat=remat, freeze=True)
+    if quant == "int8":
+        mq, ms = _quant_rows(art.merged)
+        hq, hs = _quant_rows(art.high_res)
+        return {
+            "vis_merged_q": mq, "vis_merged_s": ms,
+            "vis_high_res_q": hq, "vis_high_res_s": hs,
+            "vis_pe_cos": art.pe_cos,
+            "vis_pe_sin": art.pe_sin,
+        }
     return {
         "vis_merged": art.merged,
         "vis_high_res": art.high_res,
@@ -249,7 +310,7 @@ def run_vision(
     params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False,
     freeze: bool = False,
 ) -> VisionArtifacts:
-    if "vis_merged" in batch:
+    if "vis_merged" in batch or "vis_merged_q" in batch:
         # precomputed frozen-tower features (vision_features): skip the tower,
         # recompute only the trainable prototype projection
         if not freeze:
@@ -258,11 +319,18 @@ def run_vision(
                 "freeze_vision=True: the tower graph is skipped entirely, so an "
                 "unfrozen tower's gradients would be silently zero"
             )
-        merged = batch["vis_merged"]
+        if "vis_merged_q" in batch:
+            # int8 feature cache: dequant fuses into the first consumer pass
+            dt = batch["vis_pe_cos"].dtype
+            merged = _dequant_rows(batch["vis_merged_q"], batch["vis_merged_s"], dt)
+            high_res = _dequant_rows(batch["vis_high_res_q"], batch["vis_high_res_s"], dt)
+        else:
+            merged = batch["vis_merged"]
+            high_res = batch["vis_high_res"]
         return VisionArtifacts(
             merged=merged,
             proto=image_prototypes(params, cfg, merged),
-            high_res=batch["vis_high_res"],
+            high_res=high_res,
             pe_cos=batch["vis_pe_cos"],
             pe_sin=batch["vis_pe_sin"],
             num_merged=batch["num_merged"],
@@ -413,6 +481,7 @@ def generate(
     rng: Optional[jax.Array] = None,
     eos_token_id: Optional[int] = None,
     kv_cache_dtype: str = "bf16",
+    prefill_batch_chunk: Optional[int] = None,
 ) -> GenerateOutput:
     """Greedy/sampled generation. Everything device-resident; per-token cost is
     one fused decode step (the hot loop the reference runs through HF
@@ -421,7 +490,13 @@ def generate(
     kv_cache_dtype="int8": per-token int8 KV cache with dequant fused into the
     Pallas decode kernel (ops/kv_cache.py) — halves the dominant decode HBM
     stream at large batch. Capacity is rounded up to a 128 multiple (kernel
-    lane alignment)."""
+    lane alignment).
+
+    prefill_batch_chunk: run each prefill layer over batch sub-chunks
+    (language.prefill batch_chunk) — bounds the per-layer prefill activation
+    transients so decode batches past 112 fit one chip (the decode pool is
+    weight-stream-bound and keeps amortizing with B; prefill rows are
+    independent, so the math is identical)."""
     eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
     tcfg = cfg.text
     b, l = batch["input_ids"].shape
@@ -439,7 +514,7 @@ def generate(
     # (2.7 GB at 3B/b96/C768) is never materialized (the b128 OOM blocker)
     hidden, cache = language.prefill(
         params["text"], tcfg, embeds, batch["position_ids"], valid, capacity,
-        kv_dtype=kv_cache_dtype,
+        kv_dtype=kv_cache_dtype, batch_chunk=prefill_batch_chunk,
     )
     last_hidden = hidden[:, -1:, :]  # (B,1,D) — predicts the first new token
 

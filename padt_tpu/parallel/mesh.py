@@ -64,22 +64,22 @@ _TEXT_RULES: Dict[str, P] = {
     "layers/up_w": P(None, "fsdp", "tensor"),
     "layers/down_w": P(None, "tensor", "fsdp"),
     # unfused int8 inference layout (padt.quantize_params): *_q (L, in, out)
-    # shards like its bf16 source; *_s (L, out) per-out-channel scales track
-    # the weight's out axis
+    # shards like its bf16 source; *_s (L, 1, out) per-out-channel scales
+    # track the weight's out axis
     "layers/q_w_q": P(None, "fsdp", "tensor"),
-    "layers/q_w_s": P(None, "tensor"),
+    "layers/q_w_s": P(None, None, "tensor"),
     "layers/k_w_q": P(None, "fsdp", "tensor"),
-    "layers/k_w_s": P(None, "tensor"),
+    "layers/k_w_s": P(None, None, "tensor"),
     "layers/v_w_q": P(None, "fsdp", "tensor"),
-    "layers/v_w_s": P(None, "tensor"),
+    "layers/v_w_s": P(None, None, "tensor"),
     "layers/o_w_q": P(None, "tensor", "fsdp"),
-    "layers/o_w_s": P(None, "fsdp"),
+    "layers/o_w_s": P(None, None, "fsdp"),
     "layers/gate_w_q": P(None, "fsdp", "tensor"),
-    "layers/gate_w_s": P(None, "tensor"),
+    "layers/gate_w_s": P(None, None, "tensor"),
     "layers/up_w_q": P(None, "fsdp", "tensor"),
-    "layers/up_w_s": P(None, "tensor"),
+    "layers/up_w_s": P(None, None, "tensor"),
     "layers/down_w_q": P(None, "tensor", "fsdp"),
-    "layers/down_w_s": P(None, "fsdp"),
+    "layers/down_w_s": P(None, None, "fsdp"),
     # packed inference layout (padt.pack_inference_params): the fused out
     # axis concatenates q|k|v (3B: 2048|256|256) / gate|up at boundaries that
     # do NOT align with a 'tensor' split, so downstream slices would cross
@@ -89,9 +89,9 @@ _TEXT_RULES: Dict[str, P] = {
     "layers/qkv_b": P(None, None),
     "layers/gateup_w": P(None, "fsdp", None),
     "layers/qkv_w_q": P(None, "fsdp", None),
-    "layers/qkv_w_s": P(None, None),
+    "layers/qkv_w_s": P(None, None, None),
     "layers/gateup_w_q": P(None, "fsdp", None),
-    "layers/gateup_w_s": P(None, None),
+    "layers/gateup_w_s": P(None, None, None),
 }
 
 _VISION_RULES: Dict[str, P] = {

@@ -933,3 +933,40 @@ def test_prefill_int8_matches_quantize_after():
     np.testing.assert_allclose(np.asarray(q_ref.v_scale), np.asarray(q_direct.v_scale), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(q_ref.valid), np.asarray(q_direct.valid))
     assert int(q_direct.length) == l
+
+
+def test_prefill_batch_chunk_matches_whole_batch():
+    """Split prefill (batch_chunk): rows are independent in a causal prefill,
+    so chunked layer execution must match the whole-batch program exactly up
+    to cross-program dot-tiling drift (CLAUDE.md round-4: never bitwise).
+    This is the b120/128 memory lever (generate(prefill_batch_chunk=...))."""
+    from padt_tpu.config import padt_tiny
+    from padt_tpu.models import language as L2
+
+    cfg = padt_tiny().text
+    params = L2.init_text_params(cfg, jax.random.PRNGKey(4), jnp.float32)
+    rng = np.random.RandomState(11)
+    b, l, cap = 4, 16, 32
+    emb = jnp.asarray(rng.randn(b, l, cfg.hidden_size) * 0.1, jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(l)[None, None, :], (3, b, l)).astype(jnp.int32)
+    valid = jnp.asarray(rng.rand(b, l) > 0.2)
+    for kv_dtype in ("bf16", "int8"):
+        h_ref, c_ref = L2.prefill(params, cfg, emb, pos, valid, cap, kv_dtype=kv_dtype)
+        h_ck, c_ck = L2.prefill(
+            params, cfg, emb, pos, valid, cap, kv_dtype=kv_dtype, batch_chunk=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_ref), np.asarray(h_ck), rtol=1e-5, atol=1e-6, err_msg=kv_dtype
+        )
+        if kv_dtype == "int8":
+            assert np.abs(
+                np.asarray(c_ref.k, np.int32) - np.asarray(c_ck.k, np.int32)
+            ).max() <= 1
+            np.testing.assert_allclose(
+                np.asarray(c_ref.k_scale), np.asarray(c_ck.k_scale), rtol=1e-5
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(c_ref.k), np.asarray(c_ck.k), rtol=1e-5, atol=1e-6
+            )
+        np.testing.assert_array_equal(np.asarray(c_ref.valid), np.asarray(c_ck.valid))
