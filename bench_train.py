@@ -177,9 +177,12 @@ def run(batch_size):
     # batch per step over PCIe; this machine's tunnel can't sustain that, but
     # the STEP cost is what's being measured).
     vision_cache = os.environ.get("PADT_TRAIN_VISION_CACHE", "0") == "1"
+    # PADT_TRAIN_VISION_CACHE_DTYPE=int8: per-row int8 cached features (halves
+    # their device residency — the b16-cached lever, VERDICT r4 #6)
+    vc_quant = "int8" if os.environ.get("PADT_TRAIN_VISION_CACHE_DTYPE") == "int8" else "none"
     if vision_cache:
         assert freeze_vision, "vision-feature caching is exact only with frozen vision"
-        feat_fn = jax.jit(lambda p, b: P.vision_features(p, cfg, b))
+        feat_fn = jax.jit(lambda p, b: P.vision_features(p, cfg, b, quant=vc_quant))
         feats = feat_fn(params, {k: batch[k] for k in P._VISION_BATCH_KEYS if k in batch})
         batch = {k: v for k, v in batch.items() if k not in P._VISION_ONLY_KEYS}
         batch.update(feats)

@@ -98,6 +98,11 @@ class TrainArgs:
     # sample's first visit. The trainable prototype projection still
     # recomputes from the cached features each step.
     cache_vision_features: bool = False
+    # "bf16" (exact) | "int8" (per-row quantized merged/high_res — halves the
+    # cache + per-step host->device stream; the b16-cached OOM margin was
+    # 38 MB, BASELINE.md round-4. Forward-perturbation only: features are
+    # stop_gradient inputs; parity bounds in tests/test_train_cache.py)
+    vis_cache_dtype: str = "bf16"
     # "adamw" (reference HF default) | "adafactor" (factored second moments —
     # the single-chip-3B memory configuration, see BASELINE.md training table)
     optimizer: str = "adamw"
@@ -260,11 +265,12 @@ class PaDTTrainer:
                 for k in padt_model._VISION_BATCH_KEYS
                 if k in tb.model
             }
-            fkey = ("visfeat", vb["pixel_patches"].shape)
+            quant = "int8" if self.args.vis_cache_dtype == "int8" else "none"
+            fkey = ("visfeat", quant, vb["pixel_patches"].shape)
             if fkey not in self._step_fn_cache:
                 cfg = self.cfg
                 self._step_fn_cache[fkey] = jax.jit(
-                    lambda p, b: padt_model.vision_features(p, cfg, b)
+                    lambda p, b: padt_model.vision_features(p, cfg, b, quant=quant)
                 )
             b_sh = batch_shardings(vb, self.mesh)
             vb_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in vb.items()}
@@ -275,7 +281,9 @@ class PaDTTrainer:
         model = {
             k: v for k, v in tb.model.items() if k not in padt_model._VISION_ONLY_KEYS
         }
-        for name in padt_model._VISION_CACHE_KEYS:
+        for name in padt_model.vision_cache_keys(
+            "int8" if self.args.vis_cache_dtype == "int8" else "none"
+        ):
             model[name] = np.stack([self._vis_cache[k][name] for k in keys])
         return model
 

@@ -51,6 +51,12 @@ def parse_args():
         help="with --freeze_vision_modules: compute each sample's vision-tower "
         "features once and reuse (exact-equivalent; ~10 MB host RAM/sample at 3B)",
     )
+    ap.add_argument(
+        "--vis_cache_dtype", default="bf16", choices=["bf16", "int8"],
+        help="int8: per-row quantized cached features — ~2x smaller cache and "
+        "per-step feed; bounded forward perturbation (features are frozen "
+        "stop_gradient inputs)",
+    )
     ap.add_argument("--optimizer", default="adamw", choices=["adamw", "adafactor"])
     ap.add_argument("--resume_from_checkpoint", default="false")
     ap.add_argument("--mesh_data", type=int, default=1)
@@ -108,6 +114,7 @@ def main():
         random_select_patch_num=a.random_select_patch_num,
         freeze_vision_modules=a.freeze_vision_modules,
         cache_vision_features=a.cache_vision_features,
+        vis_cache_dtype=a.vis_cache_dtype,
         optimizer=a.optimizer,
         prompt_bucket=a.prompt_bucket,
         completion_bucket=a.completion_bucket,

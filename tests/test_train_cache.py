@@ -30,8 +30,8 @@ def _tiny_batch():
     return cfg, batch, canvas_hw, 96
 
 
-def _cached_variant(params, cfg, batch):
-    feats = jax.jit(lambda p, b: P.vision_features(p, cfg, b))(
+def _cached_variant(params, cfg, batch, quant="none"):
+    feats = jax.jit(lambda p, b: P.vision_features(p, cfg, b, quant=quant))(
         params, {k: batch[k] for k in P._VISION_BATCH_KEYS if k in batch}
     )
     out = {k: v for k, v in batch.items() if k not in P._VISION_ONLY_KEYS}
@@ -70,6 +70,48 @@ def test_cached_vision_loss_and_grads_match():
         )
     # the frozen tower's grads are zero in BOTH paths (stop_gradient vs no graph)
     assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree.leaves(g_full["vision"]))
+
+
+@pytest.mark.smoke
+def test_cached_vision_int8_loss_and_grads_close():
+    """int8 feature cache (vision_features(quant='int8')): per-row symmetric
+    quantization of the stop_gradient tower outputs is a BOUNDED forward
+    perturbation — this gates how bounded. Loss within 2% relative, every
+    trainable grad leaf within 5% relative norm + cosine > 0.99 (structural
+    breaks would be orders of magnitude off; pure rounding noise is ~1e-3).
+    The b16-cached memory lever, VERDICT r4 #6 / BASELINE.md round-5."""
+    cfg, batch, canvas_hw, lp = _tiny_batch()
+    params = P.init_padt_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    lcfg = LossConfig(freeze_vision=True)
+
+    def lossfn(p, b):
+        return padt_loss(p, cfg, b, lp, canvas_hw, lcfg, jnp.asarray(False))
+
+    (l_ref, _), g_ref = jax.value_and_grad(lossfn, has_aux=True)(
+        params, _cached_variant(params, cfg, batch)
+    )
+    q8 = _cached_variant(params, cfg, batch, quant="int8")
+    assert q8["vis_merged_q"].dtype == jnp.int8
+    assert q8["vis_high_res_q"].dtype == jnp.int8
+    (l_q, _), g_q = jax.value_and_grad(lossfn, has_aux=True)(params, q8)
+
+    np.testing.assert_allclose(float(l_ref), float(l_q), rtol=2e-2)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_q = jax.tree_util.tree_leaves_with_path(g_q)
+    assert len(flat_r) == len(flat_q)
+    for (path, gr), (_, gq) in zip(flat_r, flat_q):
+        nr = float(jnp.linalg.norm(gr.astype(jnp.float32)))
+        nq = float(jnp.linalg.norm(gq.astype(jnp.float32)))
+        name = jax.tree_util.keystr(path)
+        if max(nr, nq) < 1e-8:
+            # frozen leaves and numerically-zero bias grads (sums of
+            # cancelling rows, norm ~1e-11): relative comparison meaningless
+            continue
+        assert abs(nq - nr) / nr < 5e-2, (name, nr, nq)
+        cos = float(
+            jnp.vdot(gr.astype(jnp.float32), gq.astype(jnp.float32)) / (nr * nq)
+        )
+        assert cos > 0.99, (name, cos)
 
 
 @pytest.mark.smoke
