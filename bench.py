@@ -34,14 +34,14 @@ def _config(batch=None):
         # 7B single-chip: int8 weights mandatory (bf16 7B = 15.2 GB alone);
         # smaller default batch, same 644px REC workload
         if batch is None:
-            batch = 32
+            batch = 48  # fits with the direct-packed int8 init (round 5)
         chunk = int(chunk_env) if chunk_env else (8 if batch > 16 else 0)
         cfg = padt_7b().replace(max_image_patches=2304, vision_chunk_size=chunk)
         return cfg, batch, 16, 80, (1, 46, 46)
     if batch is None:
-        batch = 112  # largest known-good (in-scan int8 prefill freed the
-        #              bf16 cache transient); main() falls back on OOM
-    chunk = int(chunk_env) if chunk_env else (16 if batch > 32 else 0)
+        batch = 120  # largest known-good (split prefill chunk 30 + vision
+        #              chunk 8, BASELINE.md round-5); main() falls back on OOM
+    chunk = int(chunk_env) if chunk_env else (8 if batch > 112 else 16 if batch > 32 else 0)
     cfg = padt_3b().replace(max_image_patches=2304, vision_chunk_size=chunk)
     return cfg, batch, 16, 80, (1, 46, 46)  # grid = 644px image
 
@@ -118,8 +118,10 @@ def main(batch=None):
     # activation transients so batches past 112 fit (decode keeps amortizing
     # the weight stream with B). 0/unset = whole-batch prefill.
     pchunk = int(os.environ.get("PADT_BENCH_PREFILL_CHUNK", "0")) or None
-    if pchunk is None and batch_size > 112 and batch_size % 2 == 0:
-        pchunk = batch_size // 2  # auto: halve the prefill transients
+    if pchunk is None and batch_size > 112 and batch_size % 4 == 0:
+        # quarter-chunks: b120 at chunk 60 still OOM'd, chunk 30 fits
+        # (BASELINE.md round-5 ladder)
+        pchunk = batch_size // 4
 
     def run(n_new):
         f = jax.jit(
@@ -193,7 +195,7 @@ def main_with_fallback():
     wait_for_tpu()
     if os.environ.get("PADT_BENCH_BATCH") or os.environ.get("PADT_BENCH_SMALL") == "1":
         return main()
-    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (112, 96, 64, 32, 16, 8)
+    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (120, 112, 96, 64, 32, 16, 8)
     for b in ladder:
         try:
             return main(batch=b)
