@@ -34,7 +34,7 @@ def test_dryrun_multichip(n):
         timeout=900,  # train + inference phases, one-core host
     )
     assert r.returncode == 0, r.stderr[-3000:]
-    assert "dryrun_multichip OK (train+infer)" in r.stdout
+    assert "dryrun_multichip OK (train+infer+serve)" in r.stdout
 
 
 def test_sharded_generate_matches_single_device():
