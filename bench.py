@@ -39,8 +39,9 @@ def _config(batch=None):
         cfg = padt_7b().replace(max_image_patches=2304, vision_chunk_size=chunk)
         return cfg, batch, 16, 80, (1, 46, 46)
     if batch is None:
-        batch = 120  # largest known-good (split prefill chunk 30 + vision
-        #              chunk 8, BASELINE.md round-5); main() falls back on OOM
+        batch = 128  # largest known-good (split prefill quarter-chunks +
+        #              vision chunk 8, BASELINE.md round-5: 7799 tok/s);
+        #              main() falls back down the ladder on OOM
     chunk = int(chunk_env) if chunk_env else (8 if batch > 112 else 16 if batch > 32 else 0)
     cfg = padt_3b().replace(max_image_patches=2304, vision_chunk_size=chunk)
     return cfg, batch, 16, 80, (1, 46, 46)  # grid = 644px image
@@ -195,7 +196,7 @@ def main_with_fallback():
     wait_for_tpu()
     if os.environ.get("PADT_BENCH_BATCH") or os.environ.get("PADT_BENCH_SMALL") == "1":
         return main()
-    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (120, 112, 96, 64, 32, 16, 8)
+    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (128, 120, 112, 96, 64, 32, 16, 8)
     for b in ladder:
         try:
             return main(batch=b)
