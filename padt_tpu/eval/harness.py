@@ -87,6 +87,11 @@ class InferenceEngine:
                 self.params, self.cfg, max_new_tokens=self.max_new_tokens,
                 collect_hidden=True, keep_artifacts=True, **kw,
             )
+            # the engine packed its own copy of the layer weights (serving
+            # default): adopt it so the harness doesn't keep the UNFUSED
+            # stacks alive next to it (~4.6 GB duplicated at 3B bf16);
+            # run_batch's generate supports the packed layout
+            self.params = eng.params
             self._serve_cache[key] = eng
         return eng
 
@@ -147,6 +152,69 @@ class InferenceEngine:
         out = self._generate_fn(key)(self.params, jbatch, jnp.asarray(batch.rope_deltas))
         return self._postprocess(np.asarray(out.tokens), out.hidden, out.artifacts, image_sizes)
 
+    def build_stream_requests(
+        self,
+        prompts: List[str],
+        images: List[Any],
+        patch_bucket: Optional[int] = None,
+        prompt_bucket: Optional[int] = None,
+    ):
+        """HOST-ONLY request construction for `run_stream` (tokenize +
+        image-pad expansion + M-RoPE + numpy padding). No device work — safe
+        to run on a lookahead/prefetch thread so it overlaps the previous
+        chunk's device time (request build measured co-dominant with the
+        device at dataset-scale eval, BASELINE.md round-5). Returns
+        `(requests, prompt_bucket)`; pass as `run_stream(prebuilt=...)`."""
+        from ..serve import Request
+
+        cfg, proc = self.cfg, self.processor
+        pb = patch_bucket or cfg.max_image_patches
+        batches = [
+            proc.build_batch([p], [img], patch_bucket=pb, prompt_bucket=prompt_bucket)
+            for p, img in zip(prompts, images)
+        ]
+        if prompt_bucket is None:
+            # heterogeneous prompt buckets: round each request's natural
+            # length up to a 128-multiple (capped at 3 distinct buckets so
+            # prefill compiles stay bounded); the serve engine groups
+            # admissions by shape, so short prompts don't pay the longest
+            # prompt's prefill. KV capacity is sized by the LARGEST bucket.
+            lens = [b.data["input_ids"].shape[1] for b in batches]
+            ups = sorted({-(-l // 128) * 128 for l in lens})
+            if len(ups) > 3:  # cap the compile count: collapse to 3 quantiles
+                ups = sorted({ups[0], ups[len(ups) // 2], ups[-1]})
+            pick = lambda l: next(u for u in ups if u >= l)
+            prompt_bucket = ups[-1]
+            batches = [
+                # rebuild only rows whose built length isn't already the
+                # picked bucket (uniform-length datasets rebuild nothing;
+                # the unconditional rebuild was ~half of build_s)
+                b if b.data["input_ids"].shape[1] == pick(lens[j])
+                else proc.build_batch(
+                    [prompts[j]], [images[j]], patch_bucket=pb,
+                    prompt_bucket=pick(lens[j]),
+                )
+                for j, b in enumerate(batches)
+            ]
+        # Request leaves stay HOST-side (numpy): the engine's _make_bucket
+        # transfers each admission bucket once via jnp.concatenate, so HBM use
+        # is O(prefill_bucket), not O(dataset) — staging every request's pixel
+        # patches (~5 MB each at 3B buckets) on device up front won't scale to
+        # real eval sets on a 15.75 GB chip.
+        reqs = [
+            Request(
+                batch={
+                    k: np.asarray(v).astype(jnp.bfloat16) if k == "pixel_patches" else np.asarray(v)
+                    for k, v in b.data.items()
+                },
+                rope_delta=int(b.rope_deltas[0]),
+                max_new_tokens=self.max_new_tokens,
+                uid=i,
+            )
+            for i, b in enumerate(batches)
+        ]
+        return reqs, prompt_bucket
+
     def run_stream(
         self,
         prompts: List[str],
@@ -161,6 +229,7 @@ class InferenceEngine:
         prefix_cache_entries: int = 8,
         suffix_bucket: Optional[int] = None,
         prefix_keys: Optional[List[Any]] = None,
+        prebuilt: Optional[Tuple[List[Any], int]] = None,  # build_stream_requests output
     ) -> List[SampleResult]:
         """`run_batch` semantics through the continuous-batching serve engine
         (`padt_tpu.serve`): requests flow through a slot-recycled decode pool
@@ -297,46 +366,12 @@ class InferenceEngine:
             out = self._stream_tail(comps, image_sizes)
             self._record_stream_stats(t_call0, t_run0, t_run1, sstats)
             return out
-        batches = [
-            proc.build_batch([p], [img], patch_bucket=pb, prompt_bucket=prompt_bucket)
-            for p, img in zip(prompts, images)
-        ]
-        if prompt_bucket is None:
-            # heterogeneous prompt buckets: round each request's natural
-            # length up to a 128-multiple (capped at 3 distinct buckets so
-            # prefill compiles stay bounded); the serve engine groups
-            # admissions by shape, so short prompts don't pay the longest
-            # prompt's prefill. KV capacity is sized by the LARGEST bucket.
-            lens = [b.data["input_ids"].shape[1] for b in batches]
-            ups = sorted({-(-l // 128) * 128 for l in lens})
-            if len(ups) > 3:  # cap the compile count: collapse to 3 quantiles
-                ups = sorted({ups[0], ups[len(ups) // 2], ups[-1]})
-            pick = lambda l: next(u for u in ups if u >= l)
-            prompt_bucket = ups[-1]
-            batches = [
-                proc.build_batch(
-                    [p], [img], patch_bucket=pb,
-                    prompt_bucket=pick(b.data["input_ids"].shape[1]),
-                )
-                for (p, img), b in zip(zip(prompts, images), batches)
-            ]
-        # Request leaves stay HOST-side (numpy): the engine's _make_bucket
-        # transfers each admission bucket once via jnp.concatenate, so HBM use
-        # is O(prefill_bucket), not O(dataset) — staging every request's pixel
-        # patches (~5 MB each at 3B buckets) on device up front won't scale to
-        # real eval sets on a 15.75 GB chip.
-        reqs = [
-            Request(
-                batch={
-                    k: np.asarray(v).astype(jnp.bfloat16) if k == "pixel_patches" else np.asarray(v)
-                    for k, v in b.data.items()
-                },
-                rope_delta=int(b.rope_deltas[0]),
-                max_new_tokens=self.max_new_tokens,
-                uid=i,
+        if prebuilt is not None:
+            reqs, prompt_bucket = prebuilt
+        else:
+            reqs, prompt_bucket = self.build_stream_requests(
+                prompts, images, patch_bucket=pb, prompt_bucket=prompt_bucket
             )
-            for i, b in enumerate(batches)
-        ]
         eng = self._serve_engine(
             n_slots=min(n_slots, len(reqs)), prompt_len=prompt_bucket,
             prefill_bucket=prefill_bucket, chunk_steps=chunk_steps,
@@ -523,7 +558,17 @@ def infer_dataset(
             images.append(pi)
             sizes.append(sz)
             paths.append(path)
-        return rows[:n_real], images, sizes, paths
+        prompts = [r["problem"] for r in rows]
+        prebuilt = None
+        if stream and not share_prefix:
+            # full host request construction (tokenize + mrope + padding) on
+            # the prefetch thread too — it was co-dominant with device time
+            # (build_s, BASELINE.md round-5). share_prefix keeps its inline
+            # build (prefix dedup needs the engine's persistent LRU salt).
+            prebuilt = engine.build_stream_requests(
+                prompts, images, prompt_bucket=prompt_bucket
+            )
+        return rows[:n_real], prompts, images, sizes, paths, prebuilt
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -549,9 +594,8 @@ def infer_dataset(
             futures[nxt] = pool.submit(_load_chunk, nxt)
         if loaded is None:
             continue
-        rows, images, sizes, paths = loaded
+        rows, prompts, images, sizes, paths, prebuilt = loaded
         n_real = len(rows)
-        prompts = [r["problem"] for r in rows] + [rows[-1]["problem"]] * (batch_size - n_real)
         if rank == 0 and (start // batch_size) % log_every == 0:
             print(f"Processing {start}... | Total: {n}")
         t0 = time.perf_counter()
@@ -563,6 +607,7 @@ def infer_dataset(
                 share_prefix=share_prefix,
                 suffix_bucket=128 if share_prefix else None,
                 prefix_keys=paths if share_prefix else None,
+                prebuilt=prebuilt,
             )[:n_real]
         else:
             results = engine.run_batch(

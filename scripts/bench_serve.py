@@ -193,6 +193,11 @@ def main():
         prefix_cache_entries=int(os.environ.get("PADT_SERVE_PREFIX_ENTRIES", "16")),
         budget_blind=blind,
     )
+    # the engine packed its own copy of the layer weights (serving default);
+    # holding the caller's UNFUSED stacks alive next to it duplicates ~4.6 GB
+    # at 3B bf16 and OOMs the 512-request run — the naive baseline below can
+    # run on the packed layout (generate supports it, tests/test_packed_params)
+    params = eng.params
     exp = (lambda i: budgets[i]) if expected_hints else (lambda i: None)
     if prefix_n:
         reqs = [
