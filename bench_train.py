@@ -187,6 +187,13 @@ def run(batch_size):
         batch = {k: v for k, v in batch.items() if k not in P._VISION_ONLY_KEYS}
         batch.update(feats)
         jax.block_until_ready(list(feats.values()))
+        # steady-state memory model: with every feature cached the tower
+        # weights are UNUSED by the step (the cached run_vision path reads
+        # only params['proto']) — drop them from the step's resident params
+        # (~1.3 GB at 3B; the b16-int8-cache attempt OOM'd by 14 MB with the
+        # tower resident, BASELINE.md round-5). PaDTTrainer mirrors this with
+        # precache_vision/offload (train/trainer.py).
+        params = dict(params, vision={})
 
     from padt_tpu.train.train_step import vision_frozen_mask
 
