@@ -140,7 +140,24 @@ class PaDTTrainer:
         # NOTE: the trainer takes OWNERSHIP of `params` — train steps donate the
         # buffers (in-place updates), and device_put below may alias rather than
         # copy when the sharding already matches. Don't reuse the argument.
+        # cache_vision_features: the cached step reads only params['proto'], so
+        # the frozen tower is kept OUT of the step/optimizer tree entirely
+        # (~1.3 GB at 3B bf16 — the per-device-b16 enabler, BASELINE.md r5).
+        # It lives in self._tower_dev for cache fills, is pulled to host the
+        # moment every sample is cached (one readback), and re-attached on
+        # save so checkpoints stay complete.
+        self._tower_dev = None
+        self._tower_host = None
+        if args.cache_vision_features and not args.freeze_vision_modules:
+            raise ValueError(
+                "cache_vision_features requires freeze_vision_modules: cached "
+                "features skip the tower graph, so an unfrozen tower would "
+                "silently train with zero vision gradients"
+            )
         self.params = shard_params(params, self.mesh)
+        if args.cache_vision_features:
+            self._tower_dev = self.params["vision"]
+            self.params = dict(self.params, vision={})
         n_batches_per_epoch = len(dataset) // (args.per_device_train_batch_size * args.gradient_accumulation_steps)
         if n_batches_per_epoch == 0:
             print(
@@ -163,14 +180,9 @@ class PaDTTrainer:
         )
         with self.mesh:
             self.opt_state = jax.jit(
-                self.optimizer.init, in_shardings=(param_shardings(params, self.mesh),)
+                self.optimizer.init,
+                in_shardings=(param_shardings(self.params, self.mesh),),
             )(self.params)
-        if args.cache_vision_features and not args.freeze_vision_modules:
-            raise ValueError(
-                "cache_vision_features requires freeze_vision_modules: cached "
-                "features skip the tower graph, so an unfrozen tower would "
-                "silently train with zero vision gradients"
-            )
         self._vis_cache: Dict[Tuple, Dict[str, np.ndarray]] = {}
         self.global_step = 0
         self._step_fn_cache: Dict[Tuple, Any] = {}
@@ -272,12 +284,27 @@ class PaDTTrainer:
                 self._step_fn_cache[fkey] = jax.jit(
                     lambda p, b: padt_model.vision_features(p, cfg, b, quant=quant)
                 )
+            if self._tower_dev is None:
+                raise RuntimeError(
+                    "vision-feature cache miss after the tower was offloaded: "
+                    "a sample outside the train/eval datasets reached "
+                    "_with_vis_cache (cache keys are (split, index))"
+                )
             b_sh = batch_shardings(vb, self.mesh)
             vb_dev = {k: jax.device_put(np.asarray(v), b_sh[k]) for k, v in vb.items()}
-            feats = self._step_fn_cache[fkey](self.params, vb_dev)
+            feats = self._step_fn_cache[fkey](
+                dict(self.params, vision=self._tower_dev), vb_dev
+            )
             host = {k: np.asarray(v) for k, v in feats.items()}  # one gather
             for row, key in enumerate(keys):
                 self._vis_cache[key] = {k: host[k][row] for k in host}
+            # every sample cached -> the tower will never run again: pull it
+            # to host (one readback, re-attached on save) and free ~1.3 GB of
+            # HBM for the steps that follow (BASELINE.md round-5 b16 ladder)
+            n_cacheable = len(self.dataset) + len(self.eval_dataset or [])
+            if len(self._vis_cache) >= n_cacheable:
+                self._tower_host = jax.tree.map(np.asarray, self._tower_dev)
+                self._tower_dev = None
         model = {
             k: v for k, v in tb.model.items() if k not in padt_model._VISION_ONLY_KEYS
         }
@@ -457,7 +484,12 @@ class PaDTTrainer:
 
         path = path or os.path.join(os.path.abspath(self.args.output_dir), f"checkpoint-{self.global_step}")
         ckpt = ocp.StandardCheckpointer()
-        ckpt.save(os.path.join(path, "state"), {"params": self.params, "opt_state": self.opt_state}, force=True)
+        params = self.params
+        if self.args.cache_vision_features:
+            # re-attach the offloaded tower so checkpoints stay complete
+            tower = self._tower_dev if self._tower_dev is not None else self._tower_host
+            params = dict(params, vision=tower)
+        ckpt.save(os.path.join(path, "state"), {"params": params, "opt_state": self.opt_state}, force=True)
         ckpt.wait_until_finished()
         if jax.process_index() == 0:
             with open(os.path.join(path, "meta.json"), "w") as f:
@@ -478,9 +510,23 @@ class PaDTTrainer:
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
-        target = {"params": self.params, "opt_state": self.opt_state}
+        params_t = self.params
+        if self.args.cache_vision_features:
+            # checkpoints carry the full tree; restore the tower to its
+            # offload slot and keep the step tree stripped
+            tower_t = self._tower_dev if self._tower_dev is not None else self._tower_host
+            assert tower_t is not None, "tower missing from both device and host slots"
+            params_t = dict(params_t, vision=tower_t)
+        target = {"params": params_t, "opt_state": self.opt_state}
         restored = ckpt.restore(os.path.join(os.path.abspath(path), "state"), target=target)
-        self.params = restored["params"]
+        params = restored["params"]
+        if self.args.cache_vision_features:
+            if self._tower_dev is not None:
+                self._tower_dev = params["vision"]
+            else:
+                self._tower_host = params["vision"]
+            params = dict(params, vision={})
+        self.params = params
         self.opt_state = restored["opt_state"]
         with open(os.path.join(path, "meta.json")) as f:
             self.global_step = json.load(f)["step"]
