@@ -183,9 +183,14 @@ def _scores_vs_cache(q, k8_tile, ks_row, sm_scale, quantize_q):
     tests/test_kv_cache.py)."""
     if quantize_q:
         q8, qs = _quantize_q_rows(q)
+        # precision MUST be pinned: the suite's parity tests set the global
+        # matmul precision to 'highest', and an inherited fp32 contract
+        # precision on an int8 x int8 Mosaic matmul fails to compile
+        # ("Bad lhs type") — the CLAUDE.md test-order trap, int8 edition.
         scores = jax.lax.dot_general(
             q8, k8_tile, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
         ).astype(jnp.float32) * qs  # (G, C)
         q_eff = q8.astype(jnp.float32) * qs
     else:
