@@ -177,6 +177,11 @@ def main(batch=None):
             "merged_patches": int(nm),
             "per_seq_tokens_per_sec": round(per_seq, 2),
             "rec_queries_per_sec_est": round(qps, 2),
+            # end-to-end harness measurement (scripts/bench_eval_scale.py,
+            # 1024 640px REC queries, warm stream engine, one v5e + ONE host
+            # core — host-bound; BASELINE.md round-5 "eval at dataset scale").
+            # The _est above is decode arithmetic only (no prefill, no host).
+            "rec_queries_per_sec_measured_e2e": 6.62,
             "t_prefill_plus_short_s": round(t_short, 3),
             "t_long_s": round(t_long, 3),
             "backend": jax.default_backend(),
