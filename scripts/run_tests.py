@@ -77,6 +77,13 @@ def main():
         print("stage 2: full suite (default backend) ...", flush=True)
         out["full"] = _run_stage(["tests/", "-q"], timeout=10800)
         out["full"]["git_head"] = head
+        if out["full"]["returncode"] != 0:
+            # name the failures in the record (the summary line only counts
+            # them; round 5 had to dig them out of pytest's lastfailed cache)
+            lf = os.path.join(ROOT, ".pytest_cache", "v", "cache", "lastfailed")
+            if os.path.exists(lf):
+                with open(lf) as f:
+                    out["full"]["failed_tests"] = sorted(json.load(f))
         print(json.dumps(out["full"]))
     elif os.path.exists(path):
         # keep the most recent full-suite record (tagged with its own HEAD)
