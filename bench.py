@@ -179,9 +179,10 @@ def main(batch=None):
             "rec_queries_per_sec_est": round(qps, 2),
             # end-to-end harness measurement (scripts/bench_eval_scale.py,
             # 1024 640px REC queries, warm stream engine, one v5e + ONE host
-            # core — host-bound; BASELINE.md round-5 "eval at dataset scale").
+            # core; BASELINE.md round-5 "eval at dataset scale" + "compact
+            # uint8 pixel wire format" — was 6.62 before the u8 upload cut).
             # The _est above is decode arithmetic only (no prefill, no host).
-            "rec_queries_per_sec_measured_e2e": 6.62,
+            "rec_queries_per_sec_measured_e2e": 9.17,
             "t_prefill_plus_short_s": round(t_short, 3),
             "t_long_s": round(t_long, 3),
             "backend": jax.default_backend(),

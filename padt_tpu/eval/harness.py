@@ -58,10 +58,20 @@ class InferenceEngine:
         max_new_tokens: int = 1024,
         canvas_hw: Optional[Tuple[int, int]] = None,
         compute_mask: bool = True,
+        compact_pixels: bool = True,
     ):
         self.params = params
         self.cfg = cfg
         self.processor = processor
+        # ship image pixels host->device as compact uint8 rows (4x fewer
+        # bytes over the axon tunnel, where request upload was co-dominant
+        # with decode at dataset-scale eval — BASELINE.md round-5); expansion
+        # inside the vision jit is bitwise-equal (padt._expand_pixels_u8).
+        # PADT_COMPACT_PIXELS=0 restores the classic f32/bf16 wire format.
+        self.compact_pixels = compact_pixels and (
+            os.environ.get("PADT_COMPACT_PIXELS", "1") == "1"
+        )
+        processor.u8_pixels = self.compact_pixels
         self.max_new_tokens = max_new_tokens
         side = int(cfg.max_image_patches**0.5) + 1
         self.canvas_hw = canvas_hw or (side, side)
@@ -551,7 +561,11 @@ def infer_dataset(
                 # bbox px stay in the RESIZED image frame (reference scale),
                 # not the model-input frame ProcessedImage would imply
                 img_cache[path] = (
-                    process_image(img, engine.processor.min_pixels, engine.processor.max_pixels),
+                    process_image(
+                        img, engine.processor.min_pixels,
+                        engine.processor.max_pixels,
+                        u8_rows=engine.compact_pixels,
+                    ),
                     img.size,
                 )
             pi, sz = img_cache[path]

@@ -224,14 +224,16 @@ class VisionArtifacts(NamedTuple):
 
 
 _VISION_BATCH_KEYS = (
-    "pixel_patches", "window_index", "inv_window_index", "seg_win", "seg_full",
+    "pixel_patches", "pixel_patches_u8", "window_index", "inv_window_index",
+    "seg_win", "seg_full",
     "hpos", "wpos", "num_merged", "num_patches", "grid_thw", "pack_index",
 )  # pack_index present only with the window-SLOT layout (vision_geom.py)
 
 # batch keys consumed ONLY by the vision tower forward — a batch carrying
 # cached `vis_*` features (see vision_features) can drop these entirely
 _VISION_ONLY_KEYS = (
-    "pixel_patches", "window_index", "inv_window_index", "seg_win", "seg_full",
+    "pixel_patches", "pixel_patches_u8", "window_index", "inv_window_index",
+    "seg_win", "seg_full",
     "hpos", "wpos", "pack_index",
 )
 
@@ -337,7 +339,8 @@ def run_vision(
             num_patches=batch["num_patches"],
             grid_thw=batch["grid_thw"],
         )
-    b = batch["pixel_patches"].shape[0]
+    pix_key = "pixel_patches" if "pixel_patches" in batch else "pixel_patches_u8"
+    b = batch[pix_key].shape[0]
     cs = cfg.vision_chunk_size
     if cs and b > cs and b % cs == 0:
         # chunked execution: vision activation transients dominate HBM at large
@@ -353,14 +356,58 @@ def run_vision(
     return _run_vision_once(params, cfg, batch, remat, freeze)
 
 
+def _pixel_u8_lut(dtype=jnp.float32) -> jnp.ndarray:
+    """(3, 256) per-channel normalization table: lut[c, v] =
+    (f32(v)/255 - mean[c]) / std[c], computed on the HOST with the exact
+    numpy expression `process_image` uses — so the device expansion below is
+    a pure gather and matches the host pipeline bitwise by construction
+    (TPU f32 divide can differ from numpy by 1 ulp; a LUT cannot)."""
+    import numpy as np
+
+    from ..preprocess.vision_process import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+
+    v = np.arange(256, dtype=np.float32) / np.float32(255.0)  # (256,)
+    mean = np.asarray(OPENAI_CLIP_MEAN, np.float32)[:, None]
+    std = np.asarray(OPENAI_CLIP_STD, np.float32)[:, None]
+    return jnp.asarray((v[None, :] - mean) / std, dtype)
+
+
+def _expand_pixels_u8(
+    u8: jnp.ndarray, num_patches: jnp.ndarray, dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """Compact uint8 patch rows (B, S, C*P*P) -> normalized `pixel_patches`
+    (B, S, C*tP*P*P): per-channel LUT gather + temporal duplication (images
+    have t=1, both temporal copies are the same frame) + zeroing of padding
+    rows (the host pipeline pads AFTER normalization with 0.0). Runs inside
+    the vision jit so only the 4x-smaller uint8 rows cross the host<->device
+    link (preprocess/vision_process.py::process_image(u8_rows=True))."""
+    b, s, d = u8.shape
+    c = 3
+    pp = d // c
+    lut = _pixel_u8_lut(dtype)  # (3, 256)
+    x = lut[jnp.arange(c)[None, None, :, None], u8.reshape(b, s, c, pp).astype(jnp.int32)]
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, c, 2, pp)).reshape(b, s, 2 * d)
+    valid = (jnp.arange(s)[None, :] < num_patches[:, None])[:, :, None]
+    return jnp.where(valid, x, jnp.zeros((), dtype))
+
+
 def _run_vision_once(
     params, cfg: PaDTConfig, batch: Dict[str, jnp.ndarray], remat: bool = False,
     freeze: bool = False,
 ) -> VisionArtifacts:
+    pix = batch.get("pixel_patches")
+    if pix is None:
+        # compact uint8 wire format: expand per vision-chunk (the full-batch
+        # bf16 stack is never materialized — in-jit memory is LOWER than the
+        # classic path, which receives the bf16 stack as an input). bf16 to
+        # match what the harness/engine feed on the classic path exactly.
+        pix = _expand_pixels_u8(
+            batch["pixel_patches_u8"], batch["num_patches"], dtype=jnp.bfloat16
+        )
     merged, high_res, (cos, sin) = vision_forward(
         params["vision"],
         cfg.vision,
-        batch["pixel_patches"],
+        pix,
         batch["window_index"],
         batch["inv_window_index"],
         batch["seg_win"],

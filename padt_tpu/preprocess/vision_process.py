@@ -99,8 +99,14 @@ def resize_max_side(image, max_side: int = 644):
 
 @dataclass
 class ProcessedImage:
-    pixel_patches: np.ndarray  # (grid_t*grid_h*grid_w, C*tP*P*P) float32
+    pixel_patches: Optional[np.ndarray]  # (grid_t*grid_h*grid_w, C*tP*P*P) float32
     grid_thw: Tuple[int, int, int]  # (t, h, w) in 14px patch units
+    # compact wire format (images only, u8_rows=True): the SAME patch rows but
+    # pre-normalization uint8 and without the temporal duplication —
+    # (S, C*P*P) = 4x fewer bytes host->device than f32-normalized rows cast
+    # to bf16. Normalize + temporal-dup run on device (padt._expand_pixels_u8)
+    # with bitwise-identical f32 math; see expand_u8_rows for the host oracle.
+    pixel_patches_u8: Optional[np.ndarray] = None
     # video-only metadata (images keep the defaults): seconds covered by one
     # temporal grid step, and the flag that routes <|video_pad|> templating
     second_per_grid_t: float = 0.0
@@ -126,6 +132,7 @@ def process_image(
     merge_size: int = 2,
     mean: Tuple[float, ...] = OPENAI_CLIP_MEAN,
     std: Tuple[float, ...] = OPENAI_CLIP_STD,
+    u8_rows: bool = False,
 ) -> ProcessedImage:
     """PIL image (or HWC uint8 array) -> flattened patch rows + grid_thw.
 
@@ -133,6 +140,13 @@ def process_image(
       (grid_t, tP, C, grid_h/m, m, P, grid_w/m, m, P)
     then transpose to (grid_t, grid_h/m, grid_w/m, m, m, C, tP, P, P) and flatten —
     i.e. rows are grouped by 2x2 merge blocks in raster order of merged patches.
+
+    u8_rows=True: return `pixel_patches_u8` (S, C*P*P) uint8 instead — the
+    identical spatial row layout, but straight from the resized uint8 pixels
+    (no normalization, no temporal duplication; for a single image both
+    temporal copies are the same frame). The device expands it back with
+    bitwise-identical f32 math (models/padt.py::_expand_pixels_u8); over the
+    host<->device link it is 4x smaller than bf16-cast normalized rows.
     """
     import PIL.Image
 
@@ -144,6 +158,25 @@ def process_image(
     h, w = image.height, image.width
     resized_h, resized_w = smart_resize(h, w, IMAGE_FACTOR, min_pixels, max_pixels)
     image = image.resize((resized_w, resized_h), PIL.Image.Resampling.BICUBIC)
+
+    if u8_rows:
+        arr = np.asarray(image, dtype=np.uint8).transpose(2, 0, 1)  # CHW
+        channel = arr.shape[0]
+        grid_h, grid_w = resized_h // patch_size, resized_w // patch_size
+        # same 9-dim reshape/transpose as below with (grid_t, tP) = (1, 1):
+        # spatial ordering (merge-block raster) is identical by construction
+        patches = arr.reshape(
+            1, 1, channel,
+            grid_h // merge_size, merge_size, patch_size,
+            grid_w // merge_size, merge_size, patch_size,
+        )
+        patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        flat = patches.reshape(grid_h * grid_w, channel * patch_size * patch_size)
+        return ProcessedImage(
+            pixel_patches=None,
+            grid_thw=(1, grid_h, grid_w),
+            pixel_patches_u8=np.ascontiguousarray(flat),
+        )
 
     arr = np.asarray(image, dtype=np.float32) / 255.0  # HWC
     arr = (arr - np.asarray(mean, dtype=np.float32)) / np.asarray(std, dtype=np.float32)
@@ -173,6 +206,28 @@ def process_image(
         grid_t * grid_h * grid_w, channel * temporal_patch_size * patch_size * patch_size
     )
     return ProcessedImage(pixel_patches=flat, grid_thw=(grid_t, grid_h, grid_w))
+
+
+def expand_u8_rows(
+    u8: np.ndarray,
+    temporal_patch_size: int = 2,
+    mean: Tuple[float, ...] = OPENAI_CLIP_MEAN,
+    std: Tuple[float, ...] = OPENAI_CLIP_STD,
+) -> np.ndarray:
+    """Host oracle for the device-side u8 expansion: (S, C*P*P) uint8 ->
+    (S, C*tP*P*P) float32 normalized rows, bitwise-equal to process_image()'s
+    pixel_patches (the normalize/transpose order differs but every op is
+    elementwise f32 — same IEEE results). Used for mixed u8/f32 batches and
+    as the parity reference in tests."""
+    s, d = u8.shape
+    c = 3
+    pp = d // c
+    mean_a = np.asarray(mean, np.float32).reshape(1, c, 1)
+    std_a = np.asarray(std, np.float32).reshape(1, c, 1)
+    x = u8.astype(np.float32).reshape(s, c, pp) / np.float32(255.0)
+    x = (x - mean_a) / std_a
+    x = np.broadcast_to(x[:, :, None, :], (s, c, temporal_patch_size, pp))
+    return np.ascontiguousarray(x.reshape(s, c * temporal_patch_size * pp))
 
 
 def process_video(

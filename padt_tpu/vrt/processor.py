@@ -63,6 +63,7 @@ class VisionTextProcessor:
         max_pixels: int = 12_845_056,
         seq_bucket: int = 64,
         patch_bucket: int = 256,
+        u8_pixels: bool = False,
     ):
         self.tokenizer = tokenizer
         self.cfg = cfg
@@ -70,6 +71,11 @@ class VisionTextProcessor:
         self.max_pixels = max_pixels
         self.seq_bucket = seq_bucket
         self.patch_bucket = patch_bucket
+        # compact uint8 pixel wire format for raw images handed to
+        # build_batch (serving/eval default via InferenceEngine): 4x fewer
+        # host<->device bytes; expansion is bitwise-equal inside the vision
+        # jit (models/padt.py::_expand_pixels_u8)
+        self.u8_pixels = u8_pixels
         self.model_embed_token_size = cfg.text.vocab_size
         self._num_vrt_tokens = 0
 
@@ -194,7 +200,12 @@ class VisionTextProcessor:
                 if img is None or isinstance(img, ProcessedImage):
                     processed.append(img)
                 else:
-                    processed.append(process_image(img, self.min_pixels, self.max_pixels))
+                    processed.append(
+                        process_image(
+                            img, self.min_pixels, self.max_pixels,
+                            u8_rows=self.u8_pixels,
+                        )
+                    )
         else:
             processed = [None] * b
 
@@ -275,10 +286,35 @@ class VisionTextProcessor:
                 max(p.num_patches for p in processed if p is not None), self.patch_bucket
             )
             dim = cfg.vision.patch_input_dim
-            pix = np.zeros((b, s_max, dim), np.float32)
-            for i, p in enumerate(processed):
-                if p is not None:
-                    pix[i, : p.num_patches] = p.pixel_patches
+            # compact uint8 wire format (process_image(u8_rows=True)): when
+            # every media sample carries it, the batch ships (S, C*P*P) uint8
+            # rows — 4x fewer host->device bytes; normalize + temporal-dup run
+            # inside the vision jit (models/padt.py::_expand_pixels_u8).
+            # Mixed u8/f32 batches (e.g. image + video) fall back to f32 via
+            # the host oracle so one batch keeps one pixel key.
+            u8_all = all(
+                p.pixel_patches_u8 is not None for p in processed if p is not None
+            )
+            if u8_all:
+                dim8 = dim // cfg.vision.temporal_patch_size
+                pix = np.zeros((b, s_max, dim8), np.uint8)
+                for i, p in enumerate(processed):
+                    if p is not None:
+                        pix[i, : p.num_patches] = p.pixel_patches_u8
+            else:
+                from ..preprocess.vision_process import expand_u8_rows
+
+                pix = np.zeros((b, s_max, dim), np.float32)
+                for i, p in enumerate(processed):
+                    if p is not None:
+                        rows = (
+                            p.pixel_patches
+                            if p.pixel_patches is not None
+                            else expand_u8_rows(
+                                p.pixel_patches_u8, cfg.vision.temporal_patch_size
+                            )
+                        )
+                        pix[i, : p.num_patches] = rows
             geom = vision_geometry(
                 grid_list,
                 s_max,
@@ -287,7 +323,7 @@ class VisionTextProcessor:
                 cfg.vision.patch_size,
             )
             data.update(
-                pixel_patches=pix,
+                **({"pixel_patches_u8": pix} if u8_all else {"pixel_patches": pix}),
                 window_index=geom.window_index,
                 inv_window_index=geom.inv_window_index,
                 seg_win=geom.seg_win,
