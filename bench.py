@@ -39,9 +39,9 @@ def _config(batch=None):
         cfg = padt_7b().replace(max_image_patches=2304, vision_chunk_size=chunk)
         return cfg, batch, 16, 80, (1, 46, 46)
     if batch is None:
-        batch = 128  # largest known-good (split prefill quarter-chunks +
-        #              vision chunk 8, BASELINE.md round-5: 7799 tok/s);
-        #              main() falls back down the ladder on OOM
+        batch = 160  # largest known-good (split prefill eighth-chunks +
+        #              vision chunk 8, BASELINE.md round-5: 8800 tok/s;
+        #              b176/b192 OOM); main() falls back down the ladder
     chunk = int(chunk_env) if chunk_env else (8 if batch > 112 else 16 if batch > 32 else 0)
     cfg = padt_3b().replace(max_image_patches=2304, vision_chunk_size=chunk)
     return cfg, batch, 16, 80, (1, 46, 46)  # grid = 644px image
@@ -119,7 +119,12 @@ def main(batch=None):
     # activation transients so batches past 112 fit (decode keeps amortizing
     # the weight stream with B). 0/unset = whole-batch prefill.
     pchunk = int(os.environ.get("PADT_BENCH_PREFILL_CHUNK", "0")) or None
-    if pchunk is None and batch_size > 112 and batch_size % 4 == 0:
+    if pchunk is None and batch_size > 128 and batch_size % 8 == 0:
+        # eighth-chunks past b128: b160 needs chunk 20 (chunk 40 OOMs);
+        # the ~2 s extra serialization is amortized by the decode gain
+        # (BASELINE.md round-5 ladder)
+        pchunk = batch_size // 8
+    elif pchunk is None and batch_size > 112 and batch_size % 4 == 0:
         # quarter-chunks: b120 at chunk 60 still OOM'd, chunk 30 fits
         # (BASELINE.md round-5 ladder)
         pchunk = batch_size // 4
@@ -202,7 +207,7 @@ def main_with_fallback():
     wait_for_tpu()
     if os.environ.get("PADT_BENCH_BATCH") or os.environ.get("PADT_BENCH_SMALL") == "1":
         return main()
-    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (128, 120, 112, 96, 64, 32, 16, 8)
+    ladder = (48, 32, 16, 8) if os.environ.get("PADT_BENCH_MODEL") == "7b" else (160, 152, 144, 128, 120, 112, 96, 64, 32, 16, 8)
     for b in ladder:
         try:
             return main(batch=b)
